@@ -1,0 +1,254 @@
+"""Runtime configuration — the jconf equivalent.
+
+Mirrors the reference's three-block configuration model
+(`libjulius/include/julius/jconf.h:68,275,413`: JCONF_AM / JCONF_LM /
+JCONF_SEARCH plus the global Jconf) but as plain dataclasses resolved at
+runtime.  Everything that is a `./configure`-time build variant in the
+reference (`libjulius/configure.in:28-203`: factoring mode, gprune method,
+wpair, word-graph, ...) is a runtime field here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction parameters (reference: the `Value` struct,
+# libsent/include/sent/mfcc.h:76-117 and para.c defaults)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FrontendConfig:
+    """Acoustic front-end parameters (HTK-compatible).
+
+    Defaults follow Julius's `make_default_para` (libsent/src/wav2mfcc/para.c)
+    for a 16 kHz MFCC_E_D_N_Z setup.
+    """
+
+    sample_rate: int = 16000
+    frame_ms: float = 25.0          # window length in ms  (framesize samples)
+    shift_ms: float = 10.0          # frame shift in ms
+    preemph: float = 0.97
+    fbank_num: int = 24
+    mfcc_dim: int = 12              # cepstral coeffs (excluding c0/energy)
+    lifter: int = 22
+    delta_win: int = 2              # delta window (frames each side)
+    accel_win: int = 2
+    # feature composition flags (HTK qualifiers)
+    use_energy: bool = True         # _E
+    use_c0: bool = False            # _0
+    use_delta: bool = True          # _D
+    use_accel: bool = False         # _A
+    absesup: bool = False           # _N suppress absolute energy
+    cmn: bool = True                # _Z cepstral mean normalisation
+    cvn: bool = False               # variance normalisation
+    energy_normalize: bool = False  # enormal
+    escale: float = 1.0
+    silfloor_db: float = 50.0
+    raw_e: bool = False
+    zmeanframe: bool = False
+    use_power: bool = False         # power spectrum instead of magnitude
+    lopass_hz: int = -1
+    hipass_hz: int = -1
+    vtln_alpha: float = 1.0
+    vtln_lower: float = 100.0
+    vtln_upper: float = -1.0
+    ss_alpha: float = 2.0           # spectral subtraction factor
+    ss_floor: float = 0.5
+    # streaming MAP-CMN (reference wav2mfcc-pipe.c:342 CMN_realtime)
+    cmn_map_weight: float = 100.0
+    cmn_static: bool = False
+    # feature type string, e.g. "MFCC_E_D_N_Z"; parsed into the flags above
+    feature_type: Optional[str] = None
+
+    @property
+    def frame_size(self) -> int:
+        return int(self.sample_rate * self.frame_ms / 1000.0)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * self.shift_ms / 1000.0)
+
+    @property
+    def fft_size(self) -> int:
+        n = 2
+        while n < self.frame_size:
+            n *= 2
+        return n
+
+    @property
+    def base_dim(self) -> int:
+        """Static vector length before delta/accel (cepstra + c0/energy)."""
+        d = self.mfcc_dim
+        if self.use_c0:
+            d += 1
+        if self.use_energy:
+            d += 1
+        return d
+
+    @property
+    def veclen(self) -> int:
+        """Full output vector length after delta/accel/energy suppression."""
+        nblocks = 1 + int(self.use_delta) + int(self.use_accel)
+        d = self.base_dim * nblocks
+        if self.absesup:
+            d -= 1
+        return d
+
+
+def parse_feature_type(name: str, cfg: Optional[FrontendConfig] = None) -> FrontendConfig:
+    """Parse an HTK parameter-kind string like ``MFCC_E_D_N_Z`` or
+    ``FBANK_D_A_Z`` into a FrontendConfig (reference:
+    libsent/src/anlz/paramtypes.c qualifier codes)."""
+    cfg = dataclasses.replace(cfg) if cfg is not None else FrontendConfig()
+    parts = name.upper().split("_")
+    base, quals = parts[0], set(parts[1:])
+    if base not in ("MFCC", "FBANK", "MELSPEC", "LINEAR", "USER"):
+        raise ValueError(f"unsupported feature base kind: {base}")
+    cfg.feature_type = name
+    cfg.use_energy = "E" in quals
+    cfg.use_c0 = "0" in quals
+    cfg.use_delta = "D" in quals
+    cfg.use_accel = "A" in quals
+    cfg.absesup = "N" in quals
+    cfg.cmn = "Z" in quals
+    return cfg
+
+
+# ---------------------------------------------------------------------------
+# AM / LM / Search configs (reference jconf.h:68,275,413)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class DNNConfig:
+    """DNN-HMM frontend definition (.dnnconf equivalent,
+    reference Sample.dnnconf + jconf.h:230-248)."""
+
+    enabled: bool = False
+    feature_type: str = "FBANK_D_A_Z"
+    feature_len: int = 0
+    context_len: int = 11           # splice frames (centered)
+    input_nodes: int = 0
+    output_nodes: int = 0
+    hidden_nodes: int = 0
+    hidden_layers: int = 0
+    weights: list = field(default_factory=list)      # paths W1..Wn
+    biases: list = field(default_factory=list)       # paths B1..Bn
+    output_w: Optional[str] = None
+    output_b: Optional[str] = None
+    state_prior_path: Optional[str] = None
+    state_prior_factor: float = 1.0
+    batch_size: int = 64
+
+
+@dataclass
+class AMConfig:
+    """Acoustic model block (reference JCONF_AM jconf.h:68)."""
+
+    name: str = "_default"
+    hmmdefs_path: Optional[str] = None
+    hmmlist_path: Optional[str] = None
+    frontend: FrontendConfig = field(default_factory=FrontendConfig)
+    dnn: DNNConfig = field(default_factory=DNNConfig)
+    # Gaussian pruning (reference hmm_calc.h:71-83): none|safe|beam|heu.
+    # On TPU the dense matmul scorer makes pruning usually unnecessary;
+    # 'topk' keeps only the k best Gaussians per mixture like gprune_beam.
+    gprune: str = "none"
+    gprune_num: int = 10
+    # inter-word context approximation for pseudo phone sets
+    # (reference outprob_cd, libsent/src/phmm/outprob.c:287-420)
+    iwcd_scheme: str = "best"       # best | max | avg
+    iwcd_nbest: int = 3
+    force_mono: bool = False        # treat dict phones as monophones
+
+
+@dataclass
+class LMConfig:
+    """Language model block (reference JCONF_LM jconf.h:275)."""
+
+    name: str = "_default"
+    lmtype: str = "ngram"           # ngram | grammar | word
+    dict_path: Optional[str] = None
+    ngram_path: Optional[str] = None     # ARPA or bingram
+    dfa_path: Optional[str] = None
+    gram_prefix: Optional[str] = None    # prefix.dfa + prefix.dict
+    wordlist_path: Optional[str] = None  # isolated word recognition
+    head_silname: str = "<s>"
+    tail_silname: str = "</s>"
+    enable_iwsp: bool = False
+    head_margin_word: str = "sil"   # silence model at head/tail
+    tail_margin_word: str = "sil"
+
+
+@dataclass
+class SearchConfig:
+    """Search instance block (reference JCONF_SEARCH jconf.h:413)."""
+
+    name: str = "_default"
+    am_name: str = "_default"
+    lm_name: str = "_default"
+    # LM weights (reference define.h:75-90 tuned defaults)
+    lm_weight: float = 8.0          # pass-1 LM weight
+    lm_penalty: float = -2.0        # pass-1 word insertion penalty
+    lm_weight2: float = 8.0         # pass-2 LM weight
+    lm_penalty2: float = -2.0
+    transparent_penalty: float = 0.0
+    # pass-1 beam
+    beam_width: int = 0             # 0 = full (dense) Viterbi, no pruning
+    trellis_topm: int = 64          # word-ends recorded per frame
+    crossword_topk: int = 16        # word-ends expanded cross-word per frame
+    score_prune_width: float = 0.0  # 0 = off
+    # pass-2
+    enable_pass2: bool = True
+    nbest: int = 1                  # -n sentences to find
+    max_hypo_pop: int = 2000        # -m hypothesis overflow
+    stack_size: int = 500           # -s
+    lookup_range: int = 5           # trellis lookup +- frames
+    scan_beam: float = 0.0          # score envelope width (0 = off)
+    word_envelope: int = 30         # wb per hypo length
+    enveloped: bool = True
+    # outputs
+    align_word: bool = False
+    align_phoneme: bool = False
+    align_state: bool = False
+    compute_confidence: bool = False
+    cm_alpha: float = 0.05
+    graph_out: bool = False
+    confnet_out: bool = False
+    # grammar/one-pass modes
+    one_pass: bool = False
+
+
+@dataclass
+class EngineConfig:
+    """Top-level engine config (reference global Jconf jconf.h:854).
+
+    Holds named AM/LM/search blocks exactly like `-AM`/`-LM`/`-SR`
+    sectioning in jconf files (reference m_jconf.c)."""
+
+    ams: list = field(default_factory=lambda: [AMConfig()])
+    lms: list = field(default_factory=lambda: [LMConfig()])
+    searches: list = field(default_factory=lambda: [SearchConfig()])
+    # input block
+    input_source: str = "file"      # file | adinnet | stdin | vecnet
+    # rejection
+    reject_short_ms: int = 0
+    reject_long_ms: int = 0
+    # decoding
+    batch_size: int = 1             # utterances decoded per device step
+    realtime: bool = False
+
+    def am(self, name: str) -> AMConfig:
+        for a in self.ams:
+            if a.name == name:
+                return a
+        raise KeyError(name)
+
+    def lm(self, name: str) -> LMConfig:
+        for l in self.lms:
+            if l.name == name:
+                return l
+        raise KeyError(name)
