@@ -1,0 +1,213 @@
+"""Recognition engine: model fusion + batched decoding.
+
+The Recog-instance equivalent (reference `libjulius/src/instance.c`,
+`m_fusion.c:750` j_load_all, `recogmain.c:714` j_recognize_stream_core).
+One Engine = one AM + one LM + one search config; it owns the device
+tables and a jitted decode program.  Batched utterance decoding replaces
+the reference's single-threaded stream loop — the TPU decodes B
+utterances per dispatch (SURVEY.md §2.4 mapping).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julius_tpu.config import AMConfig, LMConfig, SearchConfig, FrontendConfig
+from julius_tpu.frontend import mfcc as fe
+from julius_tpu.io.arpa import NGramLM
+from julius_tpu.io.dnn import DNNParams
+from julius_tpu.io.htk_dict import Vocabulary
+from julius_tpu.models.hmm import HMMSet
+from julius_tpu.ops.dnn import DNNScorer, build_dnn_scorer, dnn_scores
+from julius_tpu.ops.gmm import (GMMScorerTables, aggregate_pseudo,
+                                build_gmm_tables, senone_scores)
+from julius_tpu.search.network import DecodeNetwork, build_network
+from julius_tpu.search.ngram_device import DeviceNgram, build_device_ngram
+from julius_tpu.search import pass1 as p1
+from julius_tpu.utils.jlog import LogLevel, jlog
+
+
+@dataclass
+class Result:
+    """One utterance's recognition output (reference Sentence / RecogProcess
+    result block)."""
+
+    words: List[str] = field(default_factory=list)
+    word_ids: List[int] = field(default_factory=list)
+    score: float = 0.0
+    segments: List[dict] = field(default_factory=list)
+    valid: bool = True
+
+
+class Engine:
+    """One recognition instance (AM + LM + search)."""
+
+    def __init__(
+        self,
+        hmm: HMMSet,
+        voca: Vocabulary,
+        lm: Optional[NGramLM] = None,
+        dnn: Optional[DNNParams] = None,
+        frontend: Optional[FrontendConfig] = None,
+        search: Optional[SearchConfig] = None,
+        am_cfg: Optional[AMConfig] = None,
+    ):
+        self.hmm = hmm
+        self.voca = voca
+        self.lm = lm
+        self.search_cfg = search or SearchConfig()
+        self.am_cfg = am_cfg or AMConfig()
+        self.fe_cfg = frontend or FrontendConfig()
+        self.fe_tables = fe.build_tables(self.fe_cfg)
+
+        self._resolve_silwords()
+        wid2lm = self._map_vocab_to_lm()
+
+        # decode network (host) + device tables
+        use_tri = hmm.names_are_triphone and not self.am_cfg.force_mono
+        self.net: DecodeNetwork = build_network(hmm, voca,
+                                                use_triphone=use_tri)
+        self.ngram_dev: Optional[DeviceNgram] = (
+            build_device_ngram(lm) if lm is not None else None)
+        sc = self.search_cfg
+        self.dev_net = p1.build_device_network(
+            self.net, self.ngram_dev, wid2lm,
+            lm_weight=sc.lm_weight, lm_penalty=sc.lm_penalty)
+        self.p1_cfg = p1.Pass1Config(
+            n_atoms=sc.trellis_topm,
+            lm_weight=sc.lm_weight,
+            lm_penalty=sc.lm_penalty,
+            beam_width=float(sc.beam_width) if sc.beam_width else 0.0,
+            use_lm=lm is not None,
+            crossword=True,
+        )
+
+        # acoustic scorer
+        self.gmm_tables: Optional[GMMScorerTables] = None
+        self.dnn_scorer: Optional[DNNScorer] = None
+        if dnn is not None:
+            self.dnn_scorer = build_dnn_scorer(dnn)
+            self.dnn_params = dnn
+            # pseudo aggregation still needs member tables
+            self._setup_pseudo_arrays()
+        else:
+            self.gmm_tables = build_gmm_tables(hmm, self.net.pseudo)
+
+        self._decode_jit = jax.jit(self._decode_device)
+
+    # -- setup helpers ----------------------------------------------------
+
+    def _resolve_silwords(self):
+        names = {n: i for i, n in enumerate(self.voca.names)}
+        head = names.get("<s>", names.get("silB", 0))
+        tail = names.get("</s>", names.get("silE", 0))
+        self.voca.head_silword = head
+        self.voca.tail_silword = tail
+
+    def _map_vocab_to_lm(self) -> Optional[np.ndarray]:
+        if self.lm is None:
+            return None
+        V = self.voca.n_words
+        out = np.full(V, -1, dtype=np.int32)
+        n_miss = 0
+        for i, name in enumerate(self.voca.names):
+            wid = self.lm.word_index.get(name, self.lm.unk_id)
+            if wid < 0:
+                n_miss += 1
+            out[i] = wid
+        if n_miss:
+            jlog(LogLevel.WARNING,
+                 f"{n_miss} dictionary words not in N-gram and no <unk> "
+                 "entry; they get zero LM probability")
+        return out
+
+    def _setup_pseudo_arrays(self):
+        ps = self.net.pseudo
+        if ps is not None and ps.n_set_states > 0:
+            segids = np.repeat(
+                np.arange(ps.n_set_states, dtype=np.int32),
+                np.diff(ps.member_ofs))
+            self._pseudo = (jnp.asarray(ps.members), jnp.asarray(segids),
+                            ps.n_set_states)
+        else:
+            self._pseudo = None
+
+    # -- device compute path ----------------------------------------------
+
+    def _outprob(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, D] features -> [B, T, R] extended outprob rows."""
+        if self.dnn_scorer is not None:
+            out = dnn_scores(self.dnn_scorer, feats)     # [B, T, n_out]
+            # senone s reads DNN row state_sid[s]
+            sid = jnp.asarray(self.hmm.state_sid)
+            rows = out[..., sid]
+            if self._pseudo is not None:
+                mem, seg, nq = self._pseudo
+                rows = jnp.concatenate(
+                    [rows, aggregate_pseudo(mem, seg, nq, rows)], axis=-1)
+            return rows
+        return senone_scores(self.gmm_tables, feats,
+                             topk=(self.am_cfg.gprune_num
+                                   if self.am_cfg.gprune == "topk" else 0))
+
+    def _features(self, wave: jnp.ndarray, lengths: jnp.ndarray):
+        feats, mask = fe.extract_features(wave, lengths, self.fe_tables)
+        if self.dnn_scorer is not None:
+            feats = fe.splice_frames(feats, mask,
+                                     self.dnn_params.context_len)
+        return feats, mask
+
+    def _decode_device(self, wave: jnp.ndarray, lengths: jnp.ndarray):
+        feats, mask = self._features(wave, lengths)
+        nfr = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        out_ext = self._outprob(feats)
+        trellis = p1.pass1_batch(self.dev_net, self.ngram_dev, self.p1_cfg,
+                                 out_ext, nfr)
+        return trellis, nfr
+
+    def decode_features(self, feats: jnp.ndarray, n_frames: jnp.ndarray):
+        """Decode pre-extracted features [B, T, D] (reference mfcfile /
+        outprob-input paths)."""
+        out_ext = jax.jit(self._outprob)(feats)
+        trellis = jax.jit(partial(
+            p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
+            out_ext, n_frames)
+        return self._results(trellis, np.asarray(n_frames))
+
+    # -- public API -------------------------------------------------------
+
+    def recognize_batch(self, wave: np.ndarray,
+                        lengths: np.ndarray) -> List[Result]:
+        """Batched file-input recognition: [B, L] int16/float waveforms."""
+        wave = jnp.asarray(wave, dtype=jnp.float32)
+        lengths = jnp.asarray(lengths, dtype=jnp.int32)
+        trellis, nfr = self._decode_jit(wave, lengths)
+        return self._results(trellis, np.asarray(nfr))
+
+    def _results(self, trellis, nfr: np.ndarray) -> List[Result]:
+        out = []
+        B = nfr.shape[0]
+        tr_host = jax.tree_util.tree_map(np.asarray, trellis)
+        for b in range(B):
+            tb = jax.tree_util.tree_map(lambda a: a[b], tr_host)
+            if nfr[b] <= 0:
+                out.append(Result(valid=False))
+                continue
+            r = p1.backtrace(tb, int(nfr[b]), self.net.tail_word)
+            if r is None:
+                out.append(Result(valid=False))
+                continue
+            words = [self.voca.names[w] for w in r["words"]]
+            out.append(Result(
+                words=words,
+                word_ids=r["words"],
+                score=r["score"],
+                segments=r["segments"],
+            ))
+        return out

@@ -24,7 +24,7 @@ class DNNParams:
     biases: List[np.ndarray]    # [out]
     output_w: np.ndarray        # [hidden, n_out]
     output_b: np.ndarray        # [n_out]
-    log_prior: np.ndarray       # [n_out] natural log prior * factor
+    log_prior: np.ndarray       # [n_out] log10(prior * factor)
     context_len: int
     feature_len: int
 
@@ -91,16 +91,22 @@ def _load_matrix(path: str, base: str) -> np.ndarray:
     return arr
 
 
-def load_prior(path: str, n_out: int, factor: float) -> np.ndarray:
-    """'state_id prior' per line -> natural-log prior array scaled by factor
-    (reference calc_dnn.c dnn_setup prior loading)."""
+def load_prior(path: str, n_out: int, factor: float,
+               log10nize: bool = True) -> np.ndarray:
+    """'state_id prior' per line -> log10(prior * factor) array (reference
+    calc_dnn.c:684-703; prior_factor_log10nize defaults TRUE, default.c:178).
+    The DNN outprob scale in the reference is log10 (dnn_calc_outprob:
+    INV_LOG_TEN * (x - logsumexp) - state_prior)."""
     prior = np.ones(n_out, dtype=np.float64)
     with open(path, "rt", encoding="utf-8") as f:
         for line in f:
             s = line.split()
             if len(s) >= 2:
                 prior[int(s[0])] = float(s[1])
-    return (np.log(np.maximum(prior, 1e-30)) * factor).astype(np.float32)
+    prior = prior * factor
+    if log10nize:
+        prior = np.log10(np.maximum(prior, 1e-30))
+    return prior.astype(np.float32)
 
 
 def load_dnn(cfg: DNNConfig, base_dir: str = ".") -> DNNParams:

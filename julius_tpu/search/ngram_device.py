@@ -1,0 +1,172 @@
+"""Device-resident N-gram tables with O(1) hashed lookup.
+
+The reference walks variable-depth back-off chains over mmapped tuple
+arrays (`libsent/src/ngram/ngram_access.c` search_ngram, bsearched per
+query).  Pointer-chasing and data-dependent depth are hostile to XLA, so
+the TPU layout is an open-addressing hash table per order: a probe is a
+fixed `MAX_PROBES`-step vectorised loop of gathers, and the back-off walk
+is unrolled over the (static) order.  Keys pack (context, word) into
+uint32 — valid while n_words <= 65535, the same limit as the reference's
+default unsigned-short WORD_ID build (libsent/include/sent/stddefs.h,
+words-int configure flag lifts it there; a two-word key would lift it
+here).
+
+Probabilities stay log10 as in the ARPA file (reference keeps them too).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julius_tpu.io.arpa import NGramLM
+from julius_tpu.utils.logadd import LOG_ZERO
+
+MAX_PROBES = 24
+EMPTY_KEY = np.uint32(0xFFFFFFFF)
+
+
+def _hash_u32(k: jnp.ndarray) -> jnp.ndarray:
+    """Murmur3-style avalanche on uint32 (good spread for packed ids)."""
+    k = k.astype(jnp.uint32)
+    k = k ^ (k >> 16)
+    k = k * jnp.uint32(0x85EBCA6B)
+    k = k ^ (k >> 13)
+    k = k * jnp.uint32(0xC2B2AE35)
+    k = k ^ (k >> 16)
+    return k
+
+
+def _build_hash(keys: np.ndarray, vals: np.ndarray,
+                payload2: np.ndarray = None):
+    """Host-side open-addressing insert (linear probing)."""
+    n = max(8, int(2 ** np.ceil(np.log2(max(1, len(keys)) * 2))))
+    mask = n - 1
+    tk = np.full(n, EMPTY_KEY, dtype=np.uint32)
+    tv = np.zeros(n, dtype=np.float32)
+    tp = np.zeros(n, dtype=np.float32) if payload2 is not None else None
+    # vectorised-ish insertion
+    h = keys.copy()
+    h ^= h >> np.uint32(16)
+    h *= np.uint32(0x85EBCA6B)
+    h ^= h >> np.uint32(13)
+    h *= np.uint32(0xC2B2AE35)
+    h ^= h >> np.uint32(16)
+    maxprobe = 0
+    for i in range(len(keys)):
+        slot = int(h[i]) & mask
+        p = 0
+        while tk[slot] != EMPTY_KEY:
+            slot = (slot + 1) & mask
+            p += 1
+        maxprobe = max(maxprobe, p)
+        tk[slot] = keys[i]
+        tv[slot] = vals[i]
+        if tp is not None:
+            tp[slot] = payload2[i]
+    if maxprobe >= MAX_PROBES:
+        raise RuntimeError(
+            f"hash overflow: probe length {maxprobe} >= {MAX_PROBES}")
+    return tk, tv, tp
+
+
+@dataclass
+class DeviceNgram:
+    """Hashed 2-gram (pass-1) tables; higher orders in pass2.py use the
+    same hash per order."""
+
+    uni: jnp.ndarray         # [V] log10 P1(w), LOG_ZERO for absent
+    bo_uni: jnp.ndarray      # [V] log10 back-off weight of (w)
+    bi_keys: jnp.ndarray     # [H] uint32 packed v*V+w
+    bi_vals: jnp.ndarray     # [H] f32 log10 P(w|v)
+    n_words: int
+    bos_id: int
+    eos_id: int
+    unk_id: int
+
+    def pack(self, v: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+        return (v.astype(jnp.uint32) * jnp.uint32(self.n_words)
+                + w.astype(jnp.uint32))
+
+
+jax.tree_util.register_dataclass(
+    DeviceNgram,
+    data_fields=["uni", "bo_uni", "bi_keys", "bi_vals"],
+    meta_fields=["n_words", "bos_id", "eos_id", "unk_id"],
+)
+
+
+def build_device_ngram(lm: NGramLM) -> DeviceNgram:
+    V = lm.n_words
+    if V > 65535:
+        raise NotImplementedError(
+            "vocab > 65535 needs two-word hash keys (reference parity: "
+            "same limit without --enable-words-int)")
+    uni = np.full(V, LOG_ZERO, dtype=np.float32)
+    bo = np.zeros(V, dtype=np.float32)
+    for (w,), (p, b) in lm.ngrams[0].items():
+        uni[w] = p
+        bo[w] = b
+    if lm.order >= 2 and lm.ngrams[1]:
+        items = list(lm.ngrams[1].items())
+        keys = np.asarray([c[0] * V + c[1] for c, _ in items], dtype=np.uint32)
+        vals = np.asarray([p for _, (p, _) in items], dtype=np.float32)
+    else:
+        keys = np.zeros(0, dtype=np.uint32)
+        vals = np.zeros(0, dtype=np.float32)
+    tk, tv, _ = _build_hash(keys, vals)
+    return DeviceNgram(
+        uni=jnp.asarray(uni),
+        bo_uni=jnp.asarray(bo),
+        bi_keys=jnp.asarray(tk),
+        bi_vals=jnp.asarray(tv),
+        n_words=V,
+        bos_id=lm.bos_id,
+        eos_id=lm.eos_id,
+        unk_id=lm.unk_id,
+    )
+
+
+def hash_lookup(table_keys: jnp.ndarray, table_vals: jnp.ndarray,
+                query: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorised probe: query [...] uint32 -> (found mask, values)."""
+    H = table_keys.shape[0]
+    mask = jnp.uint32(H - 1)
+    slot = _hash_u32(query) & mask
+    found = jnp.zeros(query.shape, dtype=bool)
+    val = jnp.zeros(query.shape, dtype=table_vals.dtype)
+    done = jnp.zeros(query.shape, dtype=bool)
+
+    def body(i, state):
+        slot, found, val, done = state
+        k = table_keys[slot]
+        hit = (k == query) & ~done
+        empty = (k == EMPTY_KEY)
+        val = jnp.where(hit, table_vals[slot], val)
+        found = found | hit
+        done = done | hit | empty
+        slot = jnp.where(done, slot, (slot + 1) & mask)
+        return slot, found, val, done
+
+    _, found, val, _ = jax.lax.fori_loop(
+        0, MAX_PROBES, body, (slot, found, val, done))
+    return found, val
+
+
+def bigram_score(ng: DeviceNgram, v: jnp.ndarray,
+                 w: jnp.ndarray) -> jnp.ndarray:
+    """log10 P(w | v) with Katz back-off (exact 2-gram).
+
+    v, w broadcastable int32 arrays; invalid v (< 0) falls back to
+    unigram (used for the start-of-sentence virtual context)."""
+    vq = jnp.maximum(v, 0)
+    key = (vq.astype(jnp.uint32) * jnp.uint32(ng.n_words)
+           + w.astype(jnp.uint32))
+    found, p = hash_lookup(ng.bi_keys, ng.bi_vals, key)
+    backoff = ng.bo_uni[vq] + ng.uni[w]
+    out = jnp.where(found, p, backoff)
+    return jnp.where(v < 0, ng.uni[w], out)

@@ -1,0 +1,398 @@
+"""Pass 1: frame-synchronous Viterbi beam over the flat decode network.
+
+The reference's token-passing core (`libjulius/src/beam.c:2663`
+get_back_trellis_proceed: token pools, per-node token maps, heap-based
+top-k beam `sort_token_no_order`, cross-word expansion
+`beam_inter_word`) is re-designed as a dense `lax.scan` over time:
+
+  * every network node carries a score + payload (LM context word,
+    trellis backpointer, word-begin frame) — the "one token per node"
+    Viterbi approximation of the reference, made total: there is no
+    token allocation because every node always has exactly one slot;
+  * the per-frame update is gather(score, in_src) + in_lp, max-reduced
+    over the fixed-width incoming-arc axis — no scatter;
+  * LM handling: each word's own unigram applies at word entry (tighter
+    than the reference's shared-node max-unigram factoring,
+    factoring_sub.c:942) and the exact 2-gram correction replaces it at
+    word end, exactly like the reference swaps factored scores for real
+    2-grams at word ends (beam_inter_word);
+  * the word trellis (backtrellis.c TRELLIS_ATOM / BACKTRELLIS) becomes
+    a fixed [T, M] tensor of word-end records emitted by the scan;
+  * beam pruning maps to an optional score-envelope mask (the rank-based
+    beam of the reference exists to bound token-list length, which a
+    dense formulation does not have).
+
+Everything is static-shaped; batched decoding is `jax.vmap` over
+utterances, which is where the TPU throughput comes from.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julius_tpu.search.network import DecodeNetwork
+from julius_tpu.search.ngram_device import DeviceNgram, bigram_score
+from julius_tpu.utils.logadd import LOG_ZERO
+
+NEG_HALF = LOG_ZERO / 2
+
+
+@dataclass
+class DeviceNetwork:
+    """Decode network tables on device (pytree)."""
+
+    score_idx: jnp.ndarray    # [N]
+    in_src: jnp.ndarray       # [N, Din]
+    in_lp: jnp.ndarray        # [N, Din]
+    entry_word: jnp.ndarray   # [N] vocab word id, -1 none
+    entry_lp: jnp.ndarray     # [N]
+    exit_word: jnp.ndarray    # [N]
+    exit_lp: jnp.ndarray      # [N]
+    word_entry_lm: jnp.ndarray  # [V] lm_weight*log10 uni + penalty at entry
+    wid2lm: jnp.ndarray       # [V] vocab word -> LM word id (-1 if no LM)
+    word_cat: jnp.ndarray     # [V] DFA category id (grammar mode) or 0
+    cpair: Optional[jnp.ndarray]  # [C, C] bool category-pair constraint
+    cat_init: Optional[jnp.ndarray]   # [C] bool: category allowed initially
+    cat_final: Optional[jnp.ndarray]  # [C] bool: word may end the input
+    head_word: int
+    tail_word: int
+
+
+jax.tree_util.register_dataclass(
+    DeviceNetwork,
+    data_fields=["score_idx", "in_src", "in_lp", "entry_word", "entry_lp",
+                 "exit_word", "exit_lp", "word_entry_lm", "wid2lm",
+                 "word_cat", "cpair", "cat_init", "cat_final"],
+    meta_fields=["head_word", "tail_word"],
+)
+
+
+def build_device_network(
+    net: DecodeNetwork,
+    ngram=None,
+    wid2lm: Optional[np.ndarray] = None,
+    lm_weight: float = 8.0,
+    lm_penalty: float = 0.0,
+    word_cat: Optional[np.ndarray] = None,
+    cpair: Optional[np.ndarray] = None,
+    cat_init: Optional[np.ndarray] = None,
+    cat_final: Optional[np.ndarray] = None,
+) -> DeviceNetwork:
+    V = net.n_words
+    if ngram is not None and wid2lm is not None:
+        uni = np.asarray(ngram.uni)
+        w_lm = np.where(wid2lm >= 0, wid2lm, 0)
+        entry = lm_weight * np.where(
+            wid2lm >= 0, uni[w_lm], LOG_ZERO) + lm_penalty
+    else:
+        wid2lm = np.full(V, -1, dtype=np.int32)
+        entry = np.full(V, lm_penalty, dtype=np.float32)
+    return DeviceNetwork(
+        score_idx=jnp.asarray(net.score_idx),
+        in_src=jnp.asarray(net.in_src),
+        in_lp=jnp.asarray(net.in_lp),
+        entry_word=jnp.asarray(net.entry_word),
+        entry_lp=jnp.asarray(net.entry_lp),
+        exit_word=jnp.asarray(net.exit_word),
+        exit_lp=jnp.asarray(net.exit_lp),
+        word_entry_lm=jnp.asarray(entry, dtype=jnp.float32),
+        wid2lm=jnp.asarray(wid2lm, dtype=jnp.int32),
+        word_cat=jnp.asarray(
+            word_cat if word_cat is not None else np.zeros(V, np.int32)),
+        cpair=None if cpair is None else jnp.asarray(cpair),
+        cat_init=None if cat_init is None else jnp.asarray(cat_init),
+        cat_final=None if cat_final is None else jnp.asarray(cat_final),
+        head_word=net.head_word,
+        tail_word=net.tail_word,
+    )
+
+
+@dataclass(frozen=True)
+class Pass1Config:
+    """Static search parameters (reference JCONF_SEARCH pass-1 block)."""
+
+    n_atoms: int = 32           # trellis word-ends kept per frame (M)
+    lm_weight: float = 8.0
+    lm_penalty: float = 0.0
+    beam_width: float = 0.0     # score envelope; 0 = exact dense Viterbi
+    use_lm: bool = True         # ngram mode vs grammar/isolated-word
+    use_dfa: bool = False       # category-pair constrained cross-word
+    crossword: bool = True      # False = isolated word recognition
+
+
+class Trellis(NamedTuple):
+    """[T, M] word-end records (reference TRELLIS_ATOM, trellis.h:28-41)."""
+
+    word: jnp.ndarray    # int32 vocab word id (-1 invalid)
+    score: jnp.ndarray   # f32 accumulated Viterbi score at word end
+    lm: jnp.ndarray      # f32 LM score of this word (weighted, + penalty)
+    prev: jnp.ndarray    # int32 flattened atom id of predecessor word end
+    begin: jnp.ndarray   # int32 first frame of the word
+
+
+class Pass1State(NamedTuple):
+    score: jnp.ndarray   # [N]
+    ctx: jnp.ndarray     # [N] int32 previous-word vocab id (-1 none)
+    prev: jnp.ndarray    # [N] int32 trellis backpointer
+    begin: jnp.ndarray   # [N] int32 word start frame
+    t: jnp.ndarray       # scalar int32 current frame index
+
+
+def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                         cfg: Pass1Config, state: Pass1State):
+    """Corrected word-end records from the current node scores.
+
+    Approximate scores (entry-applied unigram) are ranked first; the top
+    2M candidates get the exact 2-gram correction (cheap: a handful of
+    hash probes), then are re-ranked — mirroring the reference's swap of
+    factored scores for true 2-grams at word ends (beam.c
+    beam_inter_word)."""
+    M = cfg.n_atoms
+    cand = jnp.where(dev.exit_word >= 0,
+                     state.score + dev.exit_lp, LOG_ZERO)
+    sc, idx = jax.lax.top_k(cand, min(2 * M, cand.shape[0]))
+    w = dev.exit_word[idx]
+    wq = jnp.maximum(w, 0)
+    ctx = state.ctx[idx]
+    if cfg.use_lm and ngram is not None:
+        w_lm = dev.wid2lm[wq]
+        v_lm = jnp.where(ctx >= 0, dev.wid2lm[jnp.maximum(ctx, 0)], -1)
+        bi = bigram_score(ngram, v_lm, jnp.maximum(w_lm, 0))
+        uni = ngram.uni[jnp.maximum(w_lm, 0)]
+        delta = cfg.lm_weight * (bi - uni)
+        delta = jnp.where(w_lm >= 0, delta, 0.0)
+        lm_sc = jnp.where(
+            w_lm >= 0,
+            cfg.lm_weight * bi + cfg.lm_penalty, cfg.lm_penalty)
+    else:
+        delta = jnp.zeros_like(sc)
+        lm_sc = jnp.full_like(sc, cfg.lm_penalty)
+    corrected = jnp.where(sc > NEG_HALF, sc + delta, LOG_ZERO)
+    # re-rank corrected candidates, keep top M (pad when the network has
+    # fewer exit candidates than trellis capacity)
+    m_eff = min(M, corrected.shape[0])
+    csc, order = jax.lax.top_k(corrected, m_eff)
+    take = lambda a: a[order]
+    atoms = Trellis(
+        word=jnp.where(csc > NEG_HALF, take(w), -1),
+        score=csc,
+        lm=take(lm_sc),
+        prev=take(state.prev[idx]),
+        begin=take(state.begin[idx]),
+    )
+    if m_eff < M:
+        pad = M - m_eff
+        atoms = Trellis(
+            word=jnp.pad(atoms.word, (0, pad), constant_values=-1),
+            score=jnp.pad(atoms.score, (0, pad), constant_values=LOG_ZERO),
+            lm=jnp.pad(atoms.lm, (0, pad)),
+            prev=jnp.pad(atoms.prev, (0, pad), constant_values=-1),
+            begin=jnp.pad(atoms.begin, (0, pad)),
+        )
+    return atoms
+
+
+def _entry_scores(dev: DeviceNetwork, cfg: Pass1Config, atoms: Trellis,
+                  t: jnp.ndarray):
+    """Cross-word expansion: per-word entry score + payload.
+
+    N-gram mode: with entry-time unigram factoring the inter-word winner
+    is context-independent, so the single best corrected word-end wins
+    every entry (identical to the reference's behaviour under 1-gram
+    factoring, where the factored value depends only on the target).
+    DFA mode: winners differ per category via the category-pair table
+    (reference dfa/cpair.c as pass-1 inter-word constraint)."""
+    V = dev.word_entry_lm.shape[0]
+    valid = atoms.word >= 0
+    if cfg.use_dfa and dev.cpair is not None:
+        # [K, C] allowed table -> per-category best predecessor
+        kcat = dev.word_cat[jnp.maximum(atoms.word, 0)]
+        allowed = dev.cpair[kcat]                      # [K, C]
+        sc = jnp.where(allowed & valid[:, None],
+                       atoms.score[:, None], LOG_ZERO)  # [K, C]
+        best_k = jnp.argmax(sc, axis=0)                # [C]
+        cat_sc = jnp.max(sc, axis=0)                   # [C]
+        wcat = dev.word_cat                            # [V]
+        ent = cat_sc[wcat]
+        k = best_k[wcat]
+        return (ent,
+                jnp.maximum(atoms.word[k], 0),
+                atoms_prev_flat(atoms, k, t),
+                jnp.full((V,), 0, jnp.int32) + t)
+    best = jnp.argmax(jnp.where(valid, atoms.score, LOG_ZERO))
+    ent = jnp.where(valid[best], atoms.score[best], LOG_ZERO)
+    ctx_new = jnp.where(valid[best], atoms.word[best], -1)
+    prev_new = atoms_prev_flat(atoms, best, t)
+    return (jnp.full((V,), ent),
+            jnp.full((V,), ctx_new),
+            jnp.full((V,), prev_new),
+            jnp.full((V,), 0, jnp.int32) + t)
+
+
+def atoms_prev_flat(atoms: Trellis, k, t):
+    """Flattened trellis id of atom slot k ending at frame t-1."""
+    M = atoms.word.shape[0]
+    return (t - 1) * M + k
+
+
+def pass1_init(dev: DeviceNetwork, cfg: Pass1Config,
+               out_row0: jnp.ndarray) -> Pass1State:
+    """Initial state: enter the head silence word only (reference
+    init_nodescore beam.c:1552 places the initial token on <s>)."""
+    N = dev.score_idx.shape[0]
+    if cfg.use_dfa and dev.cat_init is not None:
+        ok = dev.cat_init[dev.word_cat[jnp.maximum(dev.entry_word, 0)]]
+        enter = (dev.entry_word >= 0) & ok
+    elif cfg.crossword:
+        enter = dev.entry_word == dev.head_word
+    else:
+        enter = dev.entry_word >= 0   # isolated word: all words start
+    w = jnp.maximum(dev.entry_word, 0)
+    score = jnp.where(
+        enter,
+        dev.entry_lp + dev.word_entry_lm[w] + out_row0[dev.score_idx],
+        LOG_ZERO)
+    return Pass1State(
+        score=score,
+        ctx=jnp.full((N,), -1, jnp.int32),
+        prev=jnp.full((N,), -1, jnp.int32),
+        begin=jnp.zeros((N,), jnp.int32),
+        t=jnp.asarray(0, jnp.int32),
+    )
+
+
+def pass1_step(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+               cfg: Pass1Config, state: Pass1State,
+               out_row: jnp.ndarray, frame_valid: jnp.ndarray):
+    """One decode_proceed (pass1.c:112): emit word-ends for frame t-1,
+    then advance all nodes through frame t."""
+    t = state.t + 1
+    # word-ends derive from the previous frame; the caller masks them
+    # with t-1 < len (see pass1_decode)
+    atoms = _word_end_candidates(dev, ngram, cfg, state)
+
+    # in-word propagation: gather + max over incoming arcs
+    cand = state.score[dev.in_src] + dev.in_lp          # [N, Din]
+    best_d = jnp.argmax(cand, axis=1)
+    inw = jnp.take_along_axis(cand, best_d[:, None], axis=1)[:, 0]
+    src = jnp.take_along_axis(dev.in_src, best_d[:, None], axis=1)[:, 0]
+    ctx = state.ctx[src]
+    prev = state.prev[src]
+    begin = state.begin[src]
+
+    if cfg.crossword:
+        ent, ectx, eprev, ebegin = _entry_scores(dev, cfg, atoms, t)
+        wq = jnp.maximum(dev.entry_word, 0)
+        cand_e = jnp.where(
+            dev.entry_word >= 0,
+            ent[wq] + dev.entry_lp + dev.word_entry_lm[wq],
+            LOG_ZERO)
+        use_e = cand_e > inw
+        merged = jnp.where(use_e, cand_e, inw)
+        ctx = jnp.where(use_e, ectx[wq], ctx)
+        prev = jnp.where(use_e, eprev[wq], prev)
+        begin = jnp.where(use_e, ebegin[wq], begin)
+    else:
+        merged = inw
+
+    new_score = jnp.where(merged > NEG_HALF,
+                          merged + out_row[dev.score_idx], LOG_ZERO)
+    if cfg.beam_width > 0:
+        thr = jnp.max(new_score) - cfg.beam_width
+        new_score = jnp.where(new_score >= thr, new_score, LOG_ZERO)
+
+    new = Pass1State(score=new_score, ctx=ctx, prev=prev, begin=begin, t=t)
+    # freeze past the utterance end
+    keep = lambda a, b: jnp.where(frame_valid, a, b)
+    frozen = Pass1State(
+        score=keep(new.score, state.score),
+        ctx=keep(new.ctx, state.ctx),
+        prev=keep(new.prev, state.prev),
+        begin=keep(new.begin, state.begin),
+        t=t,
+    )
+    return frozen, atoms
+
+
+def pass1_decode(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                 cfg: Pass1Config, out_ext: jnp.ndarray,
+                 n_frames: jnp.ndarray):
+    """Decode one utterance: out_ext [T, R] extended outprob rows,
+    n_frames valid frame count.  Returns the [T, M] Trellis (atom row t
+    holds word-ends at frame t).  vmap over the leading axis for batches.
+    Reference: get_back_trellis pass1.c:616."""
+    T = out_ext.shape[0]
+    state = pass1_init(dev, cfg, out_ext[0])
+
+    def step(state, xs):
+        out_row, t = xs
+        frame_valid = t < n_frames
+        # atoms describe frame t-1, valid while t-1 < n_frames
+        nstate, atoms = pass1_step(dev, ngram, cfg, state, out_row,
+                                   frame_valid)
+        atom_ok = (t - 1 < n_frames) & (atoms.word >= 0)
+        atoms = atoms._replace(
+            word=jnp.where(atom_ok, atoms.word, -1),
+            score=jnp.where(atom_ok, atoms.score, LOG_ZERO))
+        return nstate, atoms
+
+    # steps t = 1..T; step T runs on a dummy row (frame_valid False) so
+    # word-ends at the final frame are still emitted
+    rows = jnp.concatenate([out_ext[1:], jnp.zeros_like(out_ext[:1])])
+    ts = jnp.arange(1, T + 1, dtype=jnp.int32)
+    _, trellis = jax.lax.scan(step, state, (rows, ts))
+    return trellis
+
+
+def pass1_batch(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                cfg: Pass1Config, out_ext: jnp.ndarray,
+                n_frames: jnp.ndarray):
+    """[B, T, R] batched decode -> Trellis of [B, T, M] arrays."""
+    return jax.vmap(partial(pass1_decode, dev, ngram, cfg))(
+        out_ext, n_frames)
+
+
+def backtrace(trellis, n_frames: int, tail_word: int,
+              require_tail: bool = True):
+    """Host-side pass-1 result backtrace (reference find_1pass_result
+    beam.c:372): best word-end at the final frame, preferring the tail
+    silence word, then follow backpointers."""
+    word = np.asarray(trellis.word)
+    score = np.asarray(trellis.score)
+    prev = np.asarray(trellis.prev)
+    begin = np.asarray(trellis.begin)
+    lm = np.asarray(trellis.lm)
+    T, M = word.shape
+    t_last = n_frames - 1
+    row_w = word[t_last]
+    row_s = score[t_last]
+    cand = np.where(row_w == tail_word, row_s, -np.inf)
+    if require_tail and np.isfinite(cand).any():
+        m = int(np.argmax(cand))
+    else:
+        valid = np.where(row_w >= 0, row_s, -np.inf)
+        if not np.isfinite(valid).any():
+            return None
+        m = int(np.argmax(valid))
+    out = []
+    a = t_last * M + m
+    total = float(score[t_last, m])
+    while a >= 0:
+        t, mm = divmod(a, M)
+        out.append({
+            "word": int(word[t, mm]),
+            "begin": int(begin[t, mm]),
+            "end": t,
+            "score": float(score[t, mm]),
+            "lm": float(lm[t, mm]),
+        })
+        a = int(prev[t, mm])
+    out.reverse()
+    return {"words": [o["word"] for o in out], "segments": out,
+            "score": total}
