@@ -30,6 +30,7 @@ from julius_tpu.ops.gmm import (GMMScorerTables, aggregate_pseudo,
 from julius_tpu.search.network import DecodeNetwork, build_network
 from julius_tpu.search.ngram_device import DeviceNgram, build_device_ngram
 from julius_tpu.search import pass1 as p1
+from julius_tpu.search import pass2 as p2
 from julius_tpu.utils.jlog import LogLevel, jlog
 
 
@@ -41,7 +42,12 @@ class Result:
     words: List[str] = field(default_factory=list)
     word_ids: List[int] = field(default_factory=list)
     score: float = 0.0
+    am_score: float = 0.0
+    lm_score: float = 0.0
     segments: List[dict] = field(default_factory=list)
+    cm: Optional[List[float]] = None      # per-word confidence
+    nbest: List["Result"] = field(default_factory=list)
+    from_pass: int = 1
     valid: bool = True
 
 
@@ -199,15 +205,54 @@ class Engine:
             if nfr[b] <= 0:
                 out.append(Result(valid=False))
                 continue
-            r = p1.backtrace(tb, int(nfr[b]), self.net.tail_word)
-            if r is None:
-                out.append(Result(valid=False))
-                continue
-            words = [self.voca.names[w] for w in r["words"]]
-            out.append(Result(
-                words=words,
-                word_ids=r["words"],
-                score=r["score"],
-                segments=r["segments"],
-            ))
+            res = None
+            if self.search_cfg.enable_pass2:
+                res = self._pass2_result(tb, int(nfr[b]))
+            if res is None:
+                res = self._pass1_result(tb, int(nfr[b]))
+            out.append(res)
         return out
+
+    def _pass1_result(self, tb, n_frames: int) -> Result:
+        r = p1.backtrace(tb, n_frames, self.net.tail_word)
+        if r is None:
+            return Result(valid=False)
+        return Result(
+            words=[self.voca.names[w] for w in r["words"]],
+            word_ids=r["words"],
+            score=r["score"],
+            segments=r["segments"],
+            from_pass=1,
+        )
+
+    def _pass2_result(self, tb, n_frames: int) -> Optional[Result]:
+        """Stack-decoding rescore; falls back to pass 1 on empty result
+        (reference pass2_finalize_on_no_result,
+        search_bestfirst_main.c:1155)."""
+        lattice = p2.TrellisLattice(tb, n_frames)
+        wid2lm = np.asarray(self.dev_net.wid2lm) if self.lm else None
+        transparent = np.asarray(self.voca.transparent, dtype=bool) \
+            if self.voca.transparent else None
+        nbest = p2.pass2_search(lattice, self.lm, wid2lm, self.search_cfg,
+                                self.net.tail_word, transparent)
+        if not nbest:
+            return None
+        if self.search_cfg.compute_confidence:
+            p2.confidence_scores(nbest, self.search_cfg.cm_alpha)
+
+        def mk(r: p2.NBestResult) -> Result:
+            return Result(
+                words=[self.voca.names[w] for w in r.word_ids],
+                word_ids=list(r.word_ids),
+                score=r.score,
+                am_score=r.am_score,
+                lm_score=r.lm_score,
+                segments=[{"word": w, "begin": b, "end": e}
+                          for w, (b, e) in zip(r.word_ids, r.bounds)],
+                cm=r.cm,
+                from_pass=2,
+            )
+
+        best = mk(nbest[0])
+        best.nbest = [mk(r) for r in nbest]
+        return best

@@ -92,16 +92,14 @@ def test_pass1_batched_matches_single(models):
 
 def test_pass1_segments_cover_utterance(models):
     hmm, voca, lm = models
-    eng = Engine(hmm, voca, lm, search=SearchConfig(lm_weight=2.0))
+    eng = Engine(hmm, voca, lm,
+                 search=SearchConfig(lm_weight=2.0, enable_pass2=False))
     r = decode_words(eng, hmm, voca, ["<s>", "AB", "BA", "</s>"], seed=3)
-    assert r.valid
+    assert r.valid and r.from_pass == 1
     segs = r.segments
     assert segs[0]["begin"] == 0
     for a, b in zip(segs, segs[1:]):
         assert b["begin"] == a["end"] + 1
-    # scores are cumulative along the path
-    for a, b in zip(segs, segs[1:]):
-        assert b["score"] <= a["score"] + 1e-3 or True  # scores are ln-scale
     assert all(s["end"] >= s["begin"] for s in segs)
 
 
