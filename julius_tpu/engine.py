@@ -40,6 +40,7 @@ class Result:
     result block)."""
 
     words: List[str] = field(default_factory=list)
+    texts: List[str] = field(default_factory=list)   # output strings (woutput)
     word_ids: List[int] = field(default_factory=list)
     score: float = 0.0
     am_score: float = 0.0
@@ -63,14 +64,22 @@ class Engine:
         frontend: Optional[FrontendConfig] = None,
         search: Optional[SearchConfig] = None,
         am_cfg: Optional[AMConfig] = None,
+        dfa=None,
+        word_cat: Optional[np.ndarray] = None,
+        lmtype: Optional[str] = None,
     ):
         self.hmm = hmm
         self.voca = voca
         self.lm = lm
+        self.dfa = dfa
         self.search_cfg = search or SearchConfig()
         self.am_cfg = am_cfg or AMConfig()
         self.fe_cfg = frontend or FrontendConfig()
         self.fe_tables = fe.build_tables(self.fe_cfg)
+        if lmtype is None:
+            lmtype = ("ngram" if lm is not None
+                      else "grammar" if dfa is not None else "word")
+        self.lmtype = lmtype
 
         self._resolve_silwords()
         wid2lm = self._map_vocab_to_lm()
@@ -82,16 +91,29 @@ class Engine:
         self.ngram_dev: Optional[DeviceNgram] = (
             build_device_ngram(lm) if lm is not None else None)
         sc = self.search_cfg
+        self.word_cat = word_cat
+        self.final_mask: Optional[np.ndarray] = None
+        cpair = cat_init = cat_final = None
+        if dfa is not None:
+            cp, cp_begin, cp_end = dfa.category_pair_matrix()
+            cpair, cat_init, cat_final = cp, cp_begin, cp_end
+            self.final_mask = cp_end[word_cat]
+        elif lmtype == "word":
+            # isolated-word recognition: any word may end the input
+            self.final_mask = np.ones(voca.n_words, dtype=bool)
         self.dev_net = p1.build_device_network(
             self.net, self.ngram_dev, wid2lm,
-            lm_weight=sc.lm_weight, lm_penalty=sc.lm_penalty)
+            lm_weight=sc.lm_weight, lm_penalty=sc.lm_penalty,
+            word_cat=word_cat, cpair=cpair,
+            cat_init=cat_init, cat_final=cat_final)
         self.p1_cfg = p1.Pass1Config(
             n_atoms=sc.trellis_topm,
             lm_weight=sc.lm_weight,
             lm_penalty=sc.lm_penalty,
             beam_width=float(sc.beam_width) if sc.beam_width else 0.0,
             use_lm=lm is not None,
-            crossword=True,
+            use_dfa=dfa is not None,
+            crossword=(lmtype != "word"),
         )
 
         # acoustic scorer
@@ -188,6 +210,13 @@ class Engine:
 
     # -- public API -------------------------------------------------------
 
+    def align(self, feats: jnp.ndarray, n_frames: int,
+              word_ids: List[int]):
+        """Forced alignment of one utterance against a transcript
+        (reference -walign/-palign/-salign, word_align.c:547)."""
+        from julius_tpu.search.align import forced_align
+        return forced_align(self, feats, n_frames, word_ids)
+
     def recognize_batch(self, wave: np.ndarray,
                         lengths: np.ndarray) -> List[Result]:
         """Batched file-input recognition: [B, L] int16/float waveforms."""
@@ -206,7 +235,7 @@ class Engine:
                 out.append(Result(valid=False))
                 continue
             res = None
-            if self.search_cfg.enable_pass2:
+            if self.search_cfg.enable_pass2 and self.lmtype != "word":
                 res = self._pass2_result(tb, int(nfr[b]))
             if res is None:
                 res = self._pass1_result(tb, int(nfr[b]))
@@ -214,11 +243,13 @@ class Engine:
         return out
 
     def _pass1_result(self, tb, n_frames: int) -> Result:
-        r = p1.backtrace(tb, n_frames, self.net.tail_word)
+        r = p1.backtrace(tb, n_frames, self.net.tail_word,
+                         final_mask=self.final_mask)
         if r is None:
             return Result(valid=False)
         return Result(
             words=[self.voca.names[w] for w in r["words"]],
+            texts=[self.voca.outputs[w] for w in r["words"]],
             word_ids=r["words"],
             score=r["score"],
             segments=r["segments"],
@@ -230,11 +261,16 @@ class Engine:
         (reference pass2_finalize_on_no_result,
         search_bestfirst_main.c:1155)."""
         lattice = p2.TrellisLattice(tb, n_frames)
-        wid2lm = np.asarray(self.dev_net.wid2lm) if self.lm else None
-        transparent = np.asarray(self.voca.transparent, dtype=bool) \
-            if self.voca.transparent else None
-        nbest = p2.pass2_search(lattice, self.lm, wid2lm, self.search_cfg,
-                                self.net.tail_word, transparent)
+        if self.lmtype == "grammar":
+            nbest = p2.pass2_search_dfa(lattice, self.dfa, self.word_cat,
+                                        self.search_cfg)
+        else:
+            wid2lm = np.asarray(self.dev_net.wid2lm) if self.lm else None
+            transparent = np.asarray(self.voca.transparent, dtype=bool) \
+                if self.voca.transparent else None
+            nbest = p2.pass2_search(lattice, self.lm, wid2lm,
+                                    self.search_cfg,
+                                    self.net.tail_word, transparent)
         if not nbest:
             return None
         if self.search_cfg.compute_confidence:
@@ -243,6 +279,7 @@ class Engine:
         def mk(r: p2.NBestResult) -> Result:
             return Result(
                 words=[self.voca.names[w] for w in r.word_ids],
+                texts=[self.voca.outputs[w] for w in r.word_ids],
                 word_ids=list(r.word_ids),
                 score=r.score,
                 am_score=r.am_score,

@@ -358,11 +358,12 @@ def pass1_batch(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         out_ext, n_frames)
 
 
-def backtrace(trellis, n_frames: int, tail_word: int,
-              require_tail: bool = True):
+def backtrace(trellis, n_frames: int, tail_word: int = -1,
+              final_mask: Optional[np.ndarray] = None):
     """Host-side pass-1 result backtrace (reference find_1pass_result
-    beam.c:372): best word-end at the final frame, preferring the tail
-    silence word, then follow backpointers."""
+    beam.c:372): best word-end at the final frame, preferring acceptable
+    final words (the tail silence word for N-gram, sentence-final
+    categories for DFA via final_mask), then follow backpointers."""
     word = np.asarray(trellis.word)
     score = np.asarray(trellis.score)
     prev = np.asarray(trellis.prev)
@@ -372,8 +373,12 @@ def backtrace(trellis, n_frames: int, tail_word: int,
     t_last = n_frames - 1
     row_w = word[t_last]
     row_s = score[t_last]
-    cand = np.where(row_w == tail_word, row_s, -np.inf)
-    if require_tail and np.isfinite(cand).any():
+    if final_mask is not None:
+        ok = (row_w >= 0) & final_mask[np.maximum(row_w, 0)]
+    else:
+        ok = row_w == tail_word
+    cand = np.where(ok, row_s, -np.inf)
+    if np.isfinite(cand).any():
         m = int(np.argmax(cand))
     else:
         valid = np.where(row_w >= 0, row_s, -np.inf)

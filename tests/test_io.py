@@ -206,15 +206,19 @@ class TestDfa:
         assert dfa.arcs[1] == [(1, 2)]
 
     def test_category_pairs(self, tmp_path):
+        # Julius .dfa files encode the REVERSED grammar (mkdfa.py
+        # gen_reverse_grammar): this DFA consumes cat0 then cat1, so the
+        # forward sentences are "cat1 cat0".
         p = tmp_path / "g.dfa"
         p.write_text(make_dfa_text())
         dfa = load_dfa(str(p))
-        cp = dfa.category_pair_matrix()
-        C = dfa.n_terms
-        assert cp[C, 0]          # sentence can start with cat 0
-        assert cp[0, 1]          # cat 1 can follow cat 0
-        assert not cp[1, 0]
-        assert cp[1, C + 1]      # sentence can end after cat 1
+        cp, cp_begin, cp_end = dfa.category_pair_matrix()
+        assert cp_begin[1] and not cp_begin[0]   # sentences start with cat1
+        assert cp_end[0] and not cp_end[1]       # and end with cat0
+        assert cp[1, 0]          # cat 0 can follow cat 1 (forward order)
+        assert not cp[0, 1]
+        assert dfa.accepts_forward([1, 0])
+        assert not dfa.accepts_forward([0, 1])
 
 
 class TestHtkParam:
