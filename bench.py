@@ -22,7 +22,7 @@ def main():
     import jax
     from julius_tpu.tools.synth import flagship_engine
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     audio_sec = 10.0
     sr = 16000
     L = int(audio_sec * sr)

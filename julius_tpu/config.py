@@ -218,6 +218,9 @@ class SearchConfig:
     cm_alpha: float = 0.05
     graph_out: bool = False
     confnet_out: bool = False
+    graph_min_posterior: float = 1e-4
+    mbr: bool = False               # USE_MBR rescoring of the N-best
+    mbr_score_scale: float = 0.1
     # grammar/one-pass modes
     one_pass: bool = False
 

@@ -31,6 +31,7 @@ from julius_tpu.search.network import DecodeNetwork, build_network
 from julius_tpu.search.ngram_device import DeviceNgram, build_device_ngram
 from julius_tpu.search import pass1 as p1
 from julius_tpu.search import pass2 as p2
+from julius_tpu.search import graphout as go
 from julius_tpu.utils.jlog import LogLevel, jlog
 
 
@@ -48,6 +49,8 @@ class Result:
     segments: List[dict] = field(default_factory=list)
     cm: Optional[List[float]] = None      # per-word confidence
     nbest: List["Result"] = field(default_factory=list)
+    graph: Optional[object] = None        # WordGraph (graph_out)
+    confnet: Optional[list] = None        # [CNCluster] (confnet_out)
     from_pass: int = 1
     valid: bool = True
 
@@ -275,6 +278,10 @@ class Engine:
             return None
         if self.search_cfg.compute_confidence:
             p2.confidence_scores(nbest, self.search_cfg.cm_alpha)
+        if self.search_cfg.mbr:
+            nbest = go.mbr_rerank(
+                nbest, self.search_cfg.mbr_score_scale,
+                weights=np.asarray(self.voca.weight, dtype=np.float32))
 
         def mk(r: p2.NBestResult) -> Result:
             return Result(
@@ -292,4 +299,12 @@ class Engine:
 
         best = mk(nbest[0])
         best.nbest = [mk(r) for r in nbest]
+        sc = self.search_cfg
+        if sc.graph_out or sc.confnet_out:
+            graph = go.prune_graph(go.build_word_graph(lattice),
+                                   sc.graph_min_posterior)
+            if sc.graph_out:
+                best.graph = graph
+            if sc.confnet_out:
+                best.confnet = go.confusion_network(graph)
         return best

@@ -26,7 +26,9 @@ import numpy as np
 from julius_tpu.io.arpa import NGramLM
 from julius_tpu.utils.logadd import LOG_ZERO
 
-MAX_PROBES = 24
+MAX_PROBES = 8      # hard bound enforced at build time (table grows until
+                    # every linear-probe chain fits) so a lookup is ONE
+                    # [.., P] gather + compare, not a sequential loop
 EMPTY_KEY = np.uint32(0xFFFFFFFF)
 
 
@@ -43,35 +45,40 @@ def _hash_u32(k: jnp.ndarray) -> jnp.ndarray:
 
 def _build_hash(keys: np.ndarray, vals: np.ndarray,
                 payload2: np.ndarray = None):
-    """Host-side open-addressing insert (linear probing)."""
-    n = max(8, int(2 ** np.ceil(np.log2(max(1, len(keys)) * 2))))
-    mask = n - 1
-    tk = np.full(n, EMPTY_KEY, dtype=np.uint32)
-    tv = np.zeros(n, dtype=np.float32)
-    tp = np.zeros(n, dtype=np.float32) if payload2 is not None else None
-    # vectorised-ish insertion
-    h = keys.copy()
-    h ^= h >> np.uint32(16)
-    h *= np.uint32(0x85EBCA6B)
-    h ^= h >> np.uint32(13)
-    h *= np.uint32(0xC2B2AE35)
-    h ^= h >> np.uint32(16)
-    maxprobe = 0
-    for i in range(len(keys)):
-        slot = int(h[i]) & mask
-        p = 0
-        while tk[slot] != EMPTY_KEY:
-            slot = (slot + 1) & mask
-            p += 1
-        maxprobe = max(maxprobe, p)
-        tk[slot] = keys[i]
-        tv[slot] = vals[i]
-        if tp is not None:
-            tp[slot] = payload2[i]
-    if maxprobe >= MAX_PROBES:
-        raise RuntimeError(
-            f"hash overflow: probe length {maxprobe} >= {MAX_PROBES}")
-    return tk, tv, tp
+    """Host-side open-addressing insert (linear probing).  Grows the
+    table until every probe chain fits in MAX_PROBES so device lookups
+    are a single vectorised gather."""
+    n = max(16, int(2 ** np.ceil(np.log2(max(1, len(keys)) * 2))))
+    h0 = keys.copy()
+    h0 ^= h0 >> np.uint32(16)
+    h0 *= np.uint32(0x85EBCA6B)
+    h0 ^= h0 >> np.uint32(13)
+    h0 *= np.uint32(0xC2B2AE35)
+    h0 ^= h0 >> np.uint32(16)
+    while True:
+        mask = n - 1
+        tk = np.full(n, EMPTY_KEY, dtype=np.uint32)
+        tv = np.zeros(n, dtype=np.float32)
+        tp = np.zeros(n, dtype=np.float32) if payload2 is not None else None
+        ok = True
+        for i in range(len(keys)):
+            slot = int(h0[i]) & mask
+            p = 0
+            while tk[slot] != EMPTY_KEY:
+                slot = (slot + 1) & mask
+                p += 1
+                if p >= MAX_PROBES:
+                    ok = False
+                    break
+            if not ok:
+                break
+            tk[slot] = keys[i]
+            tv[slot] = vals[i]
+            if tp is not None:
+                tp[slot] = payload2[i]
+        if ok:
+            return tk, tv, tp
+        n *= 2
 
 
 @dataclass
@@ -133,28 +140,20 @@ def build_device_ngram(lm: NGramLM) -> DeviceNgram:
 
 def hash_lookup(table_keys: jnp.ndarray, table_vals: jnp.ndarray,
                 query: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Vectorised probe: query [...] uint32 -> (found mask, values)."""
+    """Vectorised probe: query [...] uint32 -> (found mask, values).
+
+    Probe chains are bounded at build time, so the whole chain is
+    fetched with one [..., P] gather and resolved with elementwise
+    compares — no sequential loop on device."""
     H = table_keys.shape[0]
     mask = jnp.uint32(H - 1)
     slot = _hash_u32(query) & mask
-    found = jnp.zeros(query.shape, dtype=bool)
-    val = jnp.zeros(query.shape, dtype=table_vals.dtype)
-    done = jnp.zeros(query.shape, dtype=bool)
-
-    def body(i, state):
-        slot, found, val, done = state
-        k = table_keys[slot]
-        hit = (k == query) & ~done
-        empty = (k == EMPTY_KEY)
-        val = jnp.where(hit, table_vals[slot], val)
-        found = found | hit
-        done = done | hit | empty
-        slot = jnp.where(done, slot, (slot + 1) & mask)
-        return slot, found, val, done
-
-    _, found, val, _ = jax.lax.fori_loop(
-        0, MAX_PROBES, body, (slot, found, val, done))
-    return found, val
+    idx = (slot[..., None] + jnp.arange(MAX_PROBES, dtype=jnp.uint32)) & mask
+    keys = table_keys[idx]                      # [..., P]
+    hit = keys == query[..., None]
+    found = jnp.any(hit, axis=-1)
+    vals = jnp.where(hit, table_vals[idx], 0.0)
+    return found, jnp.sum(vals, axis=-1)
 
 
 def bigram_score(ng: DeviceNgram, v: jnp.ndarray,

@@ -43,17 +43,35 @@ from julius_tpu.utils.logadd import LOG_ZERO
 NEG_HALF = LOG_ZERO / 2
 
 
+MAX_LOCAL_K = 8     # max arc span for the shift-structured fast path
+
+
 @dataclass
 class DeviceNetwork:
-    """Decode network tables on device (pytree)."""
+    """Decode network tables on device (pytree).
+
+    Transition layout: left-to-right HMMs allocated sequentially give
+    arcs whose span dst - src is in [0, K] for small K, so the per-frame
+    Viterbi gather can be replaced with K+1 dense shifted adds
+    (`loc_lp[k, i]` = ln p of the arc i-k -> i).  Arbitrary topologies
+    fall back to the [N, Din] incoming-arc gather (local_k < 0).
+    TPU gathers over the node axis are ~10-40x slower than shifts
+    (measured), so the local path is the performance-critical one."""
 
     score_idx: jnp.ndarray    # [N]
     in_src: jnp.ndarray       # [N, Din]
     in_lp: jnp.ndarray        # [N, Din]
+    loc_lp: Optional[jnp.ndarray]  # [K+1, N] shifted-arc scores (local path)
     entry_word: jnp.ndarray   # [N] vocab word id, -1 none
     entry_lp: jnp.ndarray     # [N]
     exit_word: jnp.ndarray    # [N]
     exit_lp: jnp.ndarray      # [N]
+    # compressed exit-node view: word ends can only occur at these nodes
+    # ([Ex] ~ vocab size, far smaller than N — keeps the per-frame top-k
+    # off the full node axis)
+    exit_nodes: jnp.ndarray   # [Ex] node ids
+    exit_w: jnp.ndarray       # [Ex] vocab word id
+    exit_nlp: jnp.ndarray     # [Ex] exit ln p
     word_entry_lm: jnp.ndarray  # [V] lm_weight*log10 uni + penalty at entry
     wid2lm: jnp.ndarray       # [V] vocab word -> LM word id (-1 if no LM)
     word_cat: jnp.ndarray     # [V] DFA category id (grammar mode) or 0
@@ -62,14 +80,17 @@ class DeviceNetwork:
     cat_final: Optional[jnp.ndarray]  # [C] bool: word may end the input
     head_word: int
     tail_word: int
+    local_k: int = -1         # >= 0: use the shift-structured fast path
 
 
 jax.tree_util.register_dataclass(
     DeviceNetwork,
-    data_fields=["score_idx", "in_src", "in_lp", "entry_word", "entry_lp",
-                 "exit_word", "exit_lp", "word_entry_lm", "wid2lm",
+    data_fields=["score_idx", "in_src", "in_lp", "loc_lp",
+                 "entry_word", "entry_lp",
+                 "exit_word", "exit_lp", "exit_nodes", "exit_w", "exit_nlp",
+                 "word_entry_lm", "wid2lm",
                  "word_cat", "cpair", "cat_init", "cat_final"],
-    meta_fields=["head_word", "tail_word"],
+    meta_fields=["head_word", "tail_word", "local_k"],
 )
 
 
@@ -93,14 +114,35 @@ def build_device_network(
     else:
         wid2lm = np.full(V, -1, dtype=np.int32)
         entry = np.full(V, lm_penalty, dtype=np.float32)
+    exit_nodes = np.flatnonzero(net.exit_word >= 0).astype(np.int32)
+
+    # shift-structured transition tables (fast path): valid when every
+    # arc has 0 <= dst - src <= MAX_LOCAL_K
+    N, Din = net.in_src.shape
+    dst = np.tile(np.arange(N, dtype=np.int64)[:, None], (1, Din))
+    valid = net.in_lp > (LOG_ZERO / 2)
+    span = dst - net.in_src.astype(np.int64)
+    loc_lp = None
+    local_k = -1
+    if valid.any() and np.all(span[valid] >= 0) \
+            and np.all(span[valid] <= MAX_LOCAL_K):
+        local_k = int(span[valid].max())
+        loc = np.full((local_k + 1, N), LOG_ZERO, dtype=np.float32)
+        ii, dd = np.nonzero(valid)
+        np.maximum.at(loc, (span[ii, dd], ii), net.in_lp[ii, dd])
+        loc_lp = jnp.asarray(loc)
     return DeviceNetwork(
         score_idx=jnp.asarray(net.score_idx),
         in_src=jnp.asarray(net.in_src),
         in_lp=jnp.asarray(net.in_lp),
+        loc_lp=loc_lp,
         entry_word=jnp.asarray(net.entry_word),
         entry_lp=jnp.asarray(net.entry_lp),
         exit_word=jnp.asarray(net.exit_word),
         exit_lp=jnp.asarray(net.exit_lp),
+        exit_nodes=jnp.asarray(exit_nodes),
+        exit_w=jnp.asarray(net.exit_word[exit_nodes]),
+        exit_nlp=jnp.asarray(net.exit_lp[exit_nodes]),
         word_entry_lm=jnp.asarray(entry, dtype=jnp.float32),
         wid2lm=jnp.asarray(wid2lm, dtype=jnp.int32),
         word_cat=jnp.asarray(
@@ -110,6 +152,7 @@ def build_device_network(
         cat_final=None if cat_final is None else jnp.asarray(cat_final),
         head_word=net.head_word,
         tail_word=net.tail_word,
+        local_k=local_k,
     )
 
 
@@ -137,10 +180,13 @@ class Trellis(NamedTuple):
 
 
 class Pass1State(NamedTuple):
+    """Per-node token state.  The word-begin frame is NOT carried — it
+    is derived from the trellis backpointer (prev // M + 1), since a
+    flat atom id encodes its end frame."""
+
     score: jnp.ndarray   # [N]
     ctx: jnp.ndarray     # [N] int32 previous-word vocab id (-1 none)
     prev: jnp.ndarray    # [N] int32 trellis backpointer
-    begin: jnp.ndarray   # [N] int32 word start frame
     t: jnp.ndarray       # scalar int32 current frame index
 
 
@@ -154,10 +200,16 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     factored scores for true 2-grams at word ends (beam.c
     beam_inter_word)."""
     M = cfg.n_atoms
-    cand = jnp.where(dev.exit_word >= 0,
-                     state.score + dev.exit_lp, LOG_ZERO)
-    sc, idx = jax.lax.top_k(cand, min(2 * M, cand.shape[0]))
-    w = dev.exit_word[idx]
+    cand = state.score[dev.exit_nodes] + dev.exit_nlp        # [Ex]
+    k = min(2 * M, cand.shape[0])
+    if cand.shape[0] > 4 * k:
+        # TPU-optimised approximate top-k for the big reduction; the
+        # exact re-rank below fixes the order of what it returns
+        sc, eidx = jax.lax.approx_max_k(cand, k, recall_target=0.99)
+    else:
+        sc, eidx = jax.lax.top_k(cand, k)
+    idx = dev.exit_nodes[eidx]
+    w = dev.exit_w[eidx]
     wq = jnp.maximum(w, 0)
     ctx = state.ctx[idx]
     if cfg.use_lm and ngram is not None:
@@ -179,12 +231,13 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     m_eff = min(M, corrected.shape[0])
     csc, order = jax.lax.top_k(corrected, m_eff)
     take = lambda a: a[order]
+    prev_sel = take(state.prev[idx])
     atoms = Trellis(
         word=jnp.where(csc > NEG_HALF, take(w), -1),
         score=csc,
         lm=take(lm_sc),
-        prev=take(state.prev[idx]),
-        begin=take(state.begin[idx]),
+        prev=prev_sel,
+        begin=jnp.where(prev_sel >= 0, prev_sel // M + 1, 0),
     )
     if m_eff < M:
         pad = M - m_eff
@@ -223,16 +276,14 @@ def _entry_scores(dev: DeviceNetwork, cfg: Pass1Config, atoms: Trellis,
         k = best_k[wcat]
         return (ent,
                 jnp.maximum(atoms.word[k], 0),
-                atoms_prev_flat(atoms, k, t),
-                jnp.full((V,), 0, jnp.int32) + t)
+                atoms_prev_flat(atoms, k, t))
     best = jnp.argmax(jnp.where(valid, atoms.score, LOG_ZERO))
     ent = jnp.where(valid[best], atoms.score[best], LOG_ZERO)
     ctx_new = jnp.where(valid[best], atoms.word[best], -1)
     prev_new = atoms_prev_flat(atoms, best, t)
     return (jnp.full((V,), ent),
             jnp.full((V,), ctx_new),
-            jnp.full((V,), prev_new),
-            jnp.full((V,), 0, jnp.int32) + t)
+            jnp.full((V,), prev_new))
 
 
 def atoms_prev_flat(atoms: Trellis, k, t):
@@ -262,7 +313,6 @@ def pass1_init(dev: DeviceNetwork, cfg: Pass1Config,
         score=score,
         ctx=jnp.full((N,), -1, jnp.int32),
         prev=jnp.full((N,), -1, jnp.int32),
-        begin=jnp.zeros((N,), jnp.int32),
         t=jnp.asarray(0, jnp.int32),
     )
 
@@ -277,17 +327,38 @@ def pass1_step(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     # with t-1 < len (see pass1_decode)
     atoms = _word_end_candidates(dev, ngram, cfg, state)
 
-    # in-word propagation: gather + max over incoming arcs
-    cand = state.score[dev.in_src] + dev.in_lp          # [N, Din]
-    best_d = jnp.argmax(cand, axis=1)
-    inw = jnp.take_along_axis(cand, best_d[:, None], axis=1)[:, 0]
-    src = jnp.take_along_axis(dev.in_src, best_d[:, None], axis=1)[:, 0]
-    ctx = state.ctx[src]
-    prev = state.prev[src]
-    begin = state.begin[src]
+    # in-word propagation
+    if dev.local_k >= 0:
+        # fast path: K+1 dense shifted adds, no gathers (see
+        # DeviceNetwork docstring)
+        def shift(x, k, fill):
+            if k == 0:
+                return x
+            return jnp.concatenate([jnp.full((k,), fill, x.dtype), x[:-k]])
+
+        cands = [shift(state.score, k, LOG_ZERO) + dev.loc_lp[k]
+                 for k in range(dev.local_k + 1)]
+        inw = cands[0]
+        for c in cands[1:]:
+            inw = jnp.maximum(inw, c)
+        ctx, prev = state.ctx, state.prev
+        taken = cands[0] >= inw
+        for k in range(1, dev.local_k + 1):
+            hit = (cands[k] >= inw) & ~taken
+            taken = taken | hit
+            ctx = jnp.where(hit, shift(state.ctx, k, -1), ctx)
+            prev = jnp.where(hit, shift(state.prev, k, -1), prev)
+    else:
+        # general topology: gather + max over incoming arcs
+        cand = state.score[dev.in_src] + dev.in_lp          # [N, Din]
+        best_d = jnp.argmax(cand, axis=1)
+        inw = jnp.take_along_axis(cand, best_d[:, None], axis=1)[:, 0]
+        src = jnp.take_along_axis(dev.in_src, best_d[:, None], axis=1)[:, 0]
+        ctx = state.ctx[src]
+        prev = state.prev[src]
 
     if cfg.crossword:
-        ent, ectx, eprev, ebegin = _entry_scores(dev, cfg, atoms, t)
+        ent, ectx, eprev = _entry_scores(dev, cfg, atoms, t)
         wq = jnp.maximum(dev.entry_word, 0)
         cand_e = jnp.where(
             dev.entry_word >= 0,
@@ -297,7 +368,6 @@ def pass1_step(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         merged = jnp.where(use_e, cand_e, inw)
         ctx = jnp.where(use_e, ectx[wq], ctx)
         prev = jnp.where(use_e, eprev[wq], prev)
-        begin = jnp.where(use_e, ebegin[wq], begin)
     else:
         merged = inw
 
@@ -307,15 +377,15 @@ def pass1_step(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         thr = jnp.max(new_score) - cfg.beam_width
         new_score = jnp.where(new_score >= thr, new_score, LOG_ZERO)
 
-    new = Pass1State(score=new_score, ctx=ctx, prev=prev, begin=begin, t=t)
-    # freeze past the utterance end
+    new = Pass1State(score=new_score, ctx=ctx, prev=prev, t=t)
+    # freeze past the utterance end (including the frame counter, so
+    # absolute trellis ids stay correct for padded streaming blocks)
     keep = lambda a, b: jnp.where(frame_valid, a, b)
     frozen = Pass1State(
         score=keep(new.score, state.score),
         ctx=keep(new.ctx, state.ctx),
         prev=keep(new.prev, state.prev),
-        begin=keep(new.begin, state.begin),
-        t=t,
+        t=keep(t, state.t),
     )
     return frozen, atoms
 
@@ -356,6 +426,41 @@ def pass1_batch(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     """[B, T, R] batched decode -> Trellis of [B, T, M] arrays."""
     return jax.vmap(partial(pass1_decode, dev, ngram, cfg))(
         out_ext, n_frames)
+
+
+def pass1_stream_chunk(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                       cfg: Pass1Config, state: Pass1State,
+                       out_chunk: jnp.ndarray, n_valid: jnp.ndarray):
+    """Advance an in-progress pass-1 by one chunk of frames (the
+    on-the-fly pipeline of the reference, realtime-1stpass.c
+    proceed_one_frame): state carries across chunks; returns the new
+    state plus the chunk's trellis atoms ([C, M], atom row i = word-ends
+    at absolute frame state.t + i).
+
+    The caller starts a stream with `pass1_init` on the first chunk's
+    first row and passes out_chunk[1:] for that first call."""
+
+    def step(st, xs):
+        out_row, i = xs
+        frame_valid = i < n_valid
+        nstate, atoms = pass1_step(dev, ngram, cfg, st, out_row,
+                                   frame_valid)
+        atom_ok = atoms.word >= 0
+        atoms = atoms._replace(
+            word=jnp.where(atom_ok, atoms.word, -1))
+        return nstate, atoms
+
+    C = out_chunk.shape[0]
+    idx = jnp.arange(C, dtype=jnp.int32)
+    new_state, atoms = jax.lax.scan(step, state, (out_chunk, idx))
+    return new_state, atoms
+
+
+def pass1_stream_finalize(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                          cfg: Pass1Config, state: Pass1State):
+    """Emit the word-ends at the final frame of a finished stream
+    segment (the decode_end flush, pass1.c:457)."""
+    return _word_end_candidates(dev, ngram, cfg, state)
 
 
 def backtrace(trellis, n_frames: int, tail_word: int = -1,

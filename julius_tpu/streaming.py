@@ -1,0 +1,178 @@
+"""Streaming recognition session: the `j_recognize_stream` equivalent.
+
+Reference flow (recogmain.c:714 j_recognize_stream_core): adin_go drives
+the VAD-triggered capture loop, each triggered chunk runs
+RealTimePipeLine (realtime-1stpass.c:813) = per-frame MFCC + one
+decode_proceed step, and segment end finalises pass 1 then runs pass 2.
+
+TPU mapping: audio chunks -> host VAD + streaming front-end
+(frontend/stream.py) -> frames batched into fixed-size blocks -> one
+jitted device step per block (outprob + pass-1 chunk scan) -> trellis
+atoms accumulate on host -> segment end finalises and runs pass 2.  The
+device state (Pass1State) lives across blocks, so latency is one block
+(default 16 frames = 160 ms) while every device dispatch stays a fixed
+compiled shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julius_tpu.frontend.stream import (SpeechDetector, StreamingFrontend,
+                                        VADConfig)
+from julius_tpu.search import pass1 as p1
+from julius_tpu.search.pass1 import Trellis
+from julius_tpu.utils.logadd import LOG_ZERO
+
+
+class StreamSession:
+    """One audio stream; yields a Result per detected speech segment."""
+
+    def __init__(self, engine, vad: Optional[VADConfig] = None,
+                 use_vad: bool = True, block_frames: int = 16):
+        self.engine = engine
+        self.block = block_frames
+        self.use_vad = use_vad
+        self.detector = SpeechDetector(vad or VADConfig(
+            sample_rate=engine.fe_cfg.sample_rate)) if use_vad else None
+        self.frontend = StreamingFrontend(engine.fe_cfg)
+        dnn = engine.dnn_scorer is not None
+        self.splice = engine.dnn_params.context_len if dnn else 1
+
+        self._chunk_fn = jax.jit(partial(
+            p1.pass1_stream_chunk, engine.dev_net, engine.ngram_dev,
+            engine.p1_cfg))
+        self._init_fn = jax.jit(lambda row: p1.pass1_init(
+            engine.dev_net, engine.p1_cfg, row))
+        self._out_fn = jax.jit(
+            lambda f: engine._outprob(f[None])[0])
+        self._reset_segment()
+
+    # -- segment state ----------------------------------------------------
+
+    def _reset_segment(self):
+        self._state = None
+        self._atoms: List[Trellis] = []
+        self._feat_pending: List[np.ndarray] = []   # frames awaiting splice
+        self._nframes = 0
+        self._in_segment = False
+
+    # -- public API -------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> List:
+        """Feed raw audio samples; returns Results for any segments that
+        completed inside this call."""
+        results = []
+        if self.detector is None:
+            if not self._in_segment:
+                self._in_segment = True
+            self._feed_frames(self.frontend.process(samples))
+            return results
+        for ev in self.detector.feed(samples):
+            if ev["type"] == "start":
+                self._in_segment = True
+                self.frontend.reset()
+            elif ev["type"] == "samples" and self._in_segment:
+                self._feed_frames(self.frontend.process(ev["data"]))
+            elif ev["type"] == "end" and self._in_segment:
+                r = self._finish_segment()
+                if r is not None:
+                    results.append(r)
+        return results
+
+    def close(self) -> List:
+        """End of stream: flush any open segment."""
+        results = []
+        if self._in_segment:
+            r = self._finish_segment()
+            if r is not None:
+                results.append(r)
+        return results
+
+    # -- internals --------------------------------------------------------
+
+    def _feed_frames(self, frames: np.ndarray, final: bool = False):
+        """Queue normalised feature frames; run device blocks when the
+        splice context allows."""
+        if frames.shape[0]:
+            self._feat_pending.extend(np.asarray(frames))
+        half = self.splice // 2
+        avail = len(self._feat_pending) - (0 if final else half)
+        while avail - self._nframes_fed() >= self.block or \
+                (final and avail > self._nframes_fed()):
+            self._run_block(final)
+            avail = len(self._feat_pending) - (0 if final else half)
+
+    def _nframes_fed(self) -> int:
+        return self._nframes
+
+    def _run_block(self, final: bool):
+        half = self.splice // 2
+        start = self._nframes
+        limit = len(self._feat_pending) if final \
+            else len(self._feat_pending) - half
+        count = min(self.block, limit - start)
+        if count <= 0:
+            return
+        # splice with context (edge-replicated at stream edges)
+        rows = []
+        T = len(self._feat_pending)
+        for t in range(start, start + count):
+            if self.splice > 1:
+                ctx = [self._feat_pending[min(max(t + o, 0), T - 1)]
+                       for o in range(-half, self.splice - half)]
+                rows.append(np.concatenate(ctx))
+            else:
+                rows.append(self._feat_pending[t])
+        block = np.zeros((self.block, len(rows[0])), dtype=np.float32)
+        block[:count] = rows
+        out = self._out_fn(jnp.asarray(block))
+        if self._state is None:
+            self._state = self._init_fn(out[0])
+            rest, n_valid = out[1:], count - 1
+        else:
+            rest, n_valid = out, count
+        self._nframes = start + count
+        if n_valid > 0:
+            self._state, atoms = self._chunk_fn(
+                self._state, rest, jnp.asarray(n_valid))
+            host = jax.tree_util.tree_map(np.asarray, atoms)
+            # row i = word-ends at absolute frame (frames_before + i)
+            for i in range(n_valid):
+                self._atoms.append(jax.tree_util.tree_map(
+                    lambda a: a[i], host))
+
+    def _finish_segment(self):
+        self._feed_frames(self.frontend.finalize(), final=True)
+        if self._state is None or self._nframes < 2:
+            self._reset_segment()
+            self._in_segment = False
+            return None
+        final_atoms = jax.tree_util.tree_map(
+            np.asarray,
+            jax.jit(partial(p1.pass1_stream_finalize, self.engine.dev_net,
+                            self.engine.ngram_dev, self.engine.p1_cfg))(
+                self._state))
+        # assemble the [T, M] trellis: collected rows are word-ends at
+        # frames 0..T-2, the finalize atoms are frame T-1
+        T = self._nframes
+        stacked = list(self._atoms[: T - 1]) + [final_atoms]
+        assert len(stacked) == T, (len(self._atoms), T)
+        tr = Trellis(*[np.stack([getattr(r, f) for r in stacked])
+                       for f in Trellis._fields])
+        res = None
+        eng = self.engine
+        if eng.search_cfg.enable_pass2 and eng.lmtype != "word":
+            res = eng._pass2_result(tr, T)
+        if res is None:
+            res = eng._pass1_result(tr, T)
+        self._reset_segment()
+        self._in_segment = False
+        return res
+
+
