@@ -142,6 +142,7 @@ class DNNConfig:
     state_prior_path: Optional[str] = None
     state_prior_factor: float = 1.0
     batch_size: int = 64
+    base_dir: str = "."             # directory for relative weight paths
 
 
 @dataclass
@@ -163,6 +164,10 @@ class AMConfig:
     iwcd_scheme: str = "best"       # best | max | avg
     iwcd_nbest: int = 3
     force_mono: bool = False        # treat dict phones as monophones
+    # MAP-CMN persistence (-cmnload/-cmnsave/-cmnnoupdate)
+    cmnload_path: Optional[str] = None
+    cmnsave_path: Optional[str] = None
+    cmn_update: bool = True
 
 
 @dataclass
@@ -172,10 +177,13 @@ class LMConfig:
     name: str = "_default"
     lmtype: str = "ngram"           # ngram | grammar | word
     dict_path: Optional[str] = None
-    ngram_path: Optional[str] = None     # ARPA or bingram
+    ngram_path: Optional[str] = None     # ARPA or bingram (forward)
+    ngram_backward_path: Optional[str] = None   # -nrl backward ARPA
     dfa_path: Optional[str] = None
     gram_prefix: Optional[str] = None    # prefix.dfa + prefix.dict
+    gramlist_path: Optional[str] = None  # -gramlist file of prefixes
     wordlist_path: Optional[str] = None  # isolated word recognition
+    unk_name: str = "<unk>"              # -mapunk
     head_silname: str = "<s>"
     tail_silname: str = "</s>"
     enable_iwsp: bool = False
@@ -204,6 +212,7 @@ class SearchConfig:
     # pass-2
     enable_pass2: bool = True
     nbest: int = 1                  # -n sentences to find
+    output_n: int = 1               # -output sentences to emit
     max_hypo_pop: int = 2000        # -m hypothesis overflow
     stack_size: int = 500           # -s
     lookup_range: int = 5           # trellis lookup +- frames
@@ -237,12 +246,24 @@ class EngineConfig:
     searches: list = field(default_factory=lambda: [SearchConfig()])
     # input block
     input_source: str = "file"      # file | adinnet | stdin | vecnet
+    filelist_path: Optional[str] = None
+    # VAD / triggering (reference -lv/-zc/-headmargin/-tailmargin)
+    use_vad: bool = False
+    vad_level: int = 2000
+    vad_zc: int = 60
+    vad_head_ms: int = 300
+    vad_tail_ms: int = 400
     # rejection
     reject_short_ms: int = 0
     reject_long_ms: int = 0
     # decoding
     batch_size: int = 1             # utterances decoded per device step
     realtime: bool = False
+    # servers / outputs
+    module_port: Optional[int] = None
+    adinnet_port: Optional[int] = None
+    outfile: bool = False
+    unknown: list = field(default_factory=list)
 
     def am(self, name: str) -> AMConfig:
         for a in self.ams:

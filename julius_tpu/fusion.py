@@ -1,0 +1,176 @@
+"""Model loading and engine instantiation from an EngineConfig.
+
+Reference: `libjulius/src/m_fusion.c` — j_load_all:750 (initialize_HMM,
+initialize_dict, initialize_ngram, multigram_load), feature-parameter
+resolution precedence (explicit options > htkconf > binhmm-embedded,
+m_fusion.c:73 doc block), and j_launch_recognition_instance:1028.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from julius_tpu.config import (AMConfig, EngineConfig, LMConfig,
+                               SearchConfig, parse_feature_type)
+from julius_tpu.engine import Engine
+from julius_tpu.io.arpa import NGramLM, load_arpa
+from julius_tpu.io.binhmm import read_binhmm
+from julius_tpu.io.bingram import read_bingram
+from julius_tpu.io.dfa import DFAGrammar, load_dfa, load_grammar
+from julius_tpu.io.dnn import DNNParams, load_dnn
+from julius_tpu.io.hmmlist import load_hmmlist
+from julius_tpu.io.htk_dict import (Vocabulary, load_htkdict, load_wordlist)
+from julius_tpu.io.htk_hmm import load_hmmdefs
+from julius_tpu.models.hmm import HMMSet
+from julius_tpu.utils.jlog import LogLevel, jlog
+
+
+def _is_binhmm(path: str) -> bool:
+    import gzip
+    with open(path, "rb") as f:
+        head = f.read(2)
+        if head == b"\x1f\x8b":
+            with gzip.open(path, "rb") as g:
+                return g.read(7) == b"JBINHMM"
+        return head + f.read(5) == b"JBINHMM"
+
+
+def _is_bingram(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(17) == b"julius_bingram_v5"
+
+
+def load_am(am: AMConfig):
+    """Load acoustic model (+DNN) per AM block (initialize_HMM
+    m_fusion.c:73)."""
+    if not am.hmmdefs_path:
+        raise ValueError(f"AM '{am.name}': no hmmdefs (-h) given")
+    embedded = None
+    if _is_binhmm(am.hmmdefs_path):
+        hmm, embedded = read_binhmm(am.hmmdefs_path)
+    else:
+        hmm = load_hmmdefs(am.hmmdefs_path)
+    if am.hmmlist_path:
+        load_hmmlist(am.hmmlist_path, hmm)
+    # feature param precedence: embedded para is the base, explicit
+    # option edits (already in am.frontend) win where they were set —
+    # here we take embedded wholesale unless the caller customised
+    # am.frontend away from defaults; the CLI applies explicit options
+    # after this.
+    if embedded is not None:
+        am.frontend = embedded
+    elif hmm.param_kind and am.frontend.feature_type is None:
+        am.frontend = parse_feature_type(hmm.param_kind, am.frontend)
+    dnn: Optional[DNNParams] = None
+    if am.dnn.enabled:
+        if am.dnn.feature_type:
+            am.frontend = parse_feature_type(am.dnn.feature_type,
+                                             am.frontend)
+        dnn = load_dnn(am.dnn, getattr(am.dnn, "base_dir", "."))
+    return hmm, dnn
+
+
+def load_lm(lm: LMConfig):
+    """Load LM per LM block.  Returns (lmtype, voca, ngram, dfa,
+    word_cat)."""
+    if lm.lmtype == "ngram":
+        if not lm.dict_path:
+            raise ValueError(f"LM '{lm.name}': ngram mode needs -v dict")
+        voca = load_htkdict(lm.dict_path)
+        ngram = None
+        if lm.ngram_path:
+            if _is_bingram(lm.ngram_path):
+                ngram = read_bingram(lm.ngram_path)
+            else:
+                ngram = load_arpa(lm.ngram_path)
+        elif lm.ngram_backward_path:
+            ngram = load_arpa(lm.ngram_backward_path, direction="RL")
+        return "ngram", voca, ngram, None, None
+    if lm.lmtype == "grammar":
+        if lm.gram_prefix:
+            dfa, voca, word_cat = load_grammar(lm.gram_prefix)
+        elif lm.gramlist_path:
+            prefixes = []
+            base = os.path.dirname(os.path.abspath(lm.gramlist_path))
+            with open(lm.gramlist_path) as f:
+                for line in f:
+                    s = line.strip()
+                    if s and not s.startswith("#"):
+                        if not os.path.isabs(s):
+                            s = os.path.join(base, s)
+                        prefixes.append(s)
+            dfa, voca, word_cat = load_multiple_grammars(prefixes)
+        elif lm.dfa_path and lm.dict_path:
+            dfa = load_dfa(lm.dfa_path)
+            voca = load_htkdict(lm.dict_path)
+            word_cat = np.asarray([int(n) for n in voca.names],
+                                  dtype=np.int32)
+        else:
+            raise ValueError(
+                f"LM '{lm.name}': grammar mode needs -gram/-gramlist or "
+                "-dfa + -v")
+        return "grammar", voca, None, dfa, word_cat
+    if lm.lmtype == "word":
+        if not lm.wordlist_path:
+            raise ValueError(f"LM '{lm.name}': word mode needs -w list")
+        voca = load_wordlist(lm.wordlist_path)
+        return "word", voca, None, None, None
+    raise ValueError(f"unknown lmtype {lm.lmtype}")
+
+
+def load_multiple_grammars(prefixes: List[str]):
+    """Merge several grammars into one global DFA + dictionary
+    (reference multigram_build gramlist.c/multi-gram.c:174: category ids
+    and DFA states are offset per grammar and the automata run in
+    parallel as one big DFA with multiple initial/accept states)."""
+    from julius_tpu.io.htk_dict import load_htkdict
+
+    gdfa = DFAGrammar()
+    voca = Vocabulary()
+    cats: List[int] = []
+    for prefix in prefixes:
+        dfa, v, wc = load_grammar(prefix)
+        soff = gdfa.n_states
+        coff = gdfa.n_terms
+        gdfa.n_states += dfa.n_states
+        gdfa.n_terms += dfa.n_terms
+        gdfa.arcs.extend(
+            [[(c + coff, s + soff) for (c, s) in arcs] for arcs in dfa.arcs])
+        gdfa.accept.extend(dfa.accept)
+        gdfa.initial.extend(dfa.initial)
+        for i in range(v.n_words):
+            voca.add(str(int(wc[i]) + coff), v.phones[i], v.outputs[i],
+                     v.transparent[i], v.cprob[i], v.weight[i])
+            cats.append(int(wc[i]) + coff)
+    gdfa.term_words = [[] for _ in range(gdfa.n_terms)]
+    for wid, c in enumerate(cats):
+        gdfa.term_words[c].append(wid)
+    return gdfa, voca, np.asarray(cats, dtype=np.int32)
+
+
+def create_engines(cfg: EngineConfig) -> List[Engine]:
+    """Build one Engine per -SR search block (multi-instance decoding,
+    reference recog.h:24-37)."""
+    am_cache = {}
+    lm_cache = {}
+    engines = []
+    for sr in cfg.searches:
+        am_cfg = cfg.am(sr.am_name)
+        lm_cfg = cfg.lm(sr.lm_name)
+        if id(am_cfg) not in am_cache:
+            am_cache[id(am_cfg)] = load_am(am_cfg)
+        hmm, dnn = am_cache[id(am_cfg)]
+        if id(lm_cfg) not in lm_cache:
+            lm_cache[id(lm_cfg)] = load_lm(lm_cfg)
+        lmtype, voca, ngram, dfa, word_cat = lm_cache[id(lm_cfg)]
+        eng = Engine(hmm, voca, lm=ngram, dnn=dnn,
+                     frontend=am_cfg.frontend, search=sr, am_cfg=am_cfg,
+                     dfa=dfa, word_cat=word_cat, lmtype=lmtype)
+        engines.append(eng)
+        jlog(LogLevel.STAT,
+             f"instance '{sr.name}': AM={am_cfg.name} LM={lm_cfg.name} "
+             f"type={lmtype} nodes={eng.net.n_nodes}")
+    return engines

@@ -33,6 +33,14 @@ def read_raw(path: str, big_endian: bool = True) -> np.ndarray:
     return np.fromfile(path, dtype=dt).astype(np.float32)
 
 
+def read_audio(path: str) -> np.ndarray:
+    """Dispatch on extension: .wav via the RIFF reader, anything else as
+    big-endian RAW (reference adin_file.c adin_file_begin)."""
+    if path.lower().endswith(".wav"):
+        return read_wav(path)[0]
+    return read_raw(path)
+
+
 def write_wav(path: str, samples: np.ndarray, rate: int) -> None:
     s = np.clip(np.asarray(samples), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:

@@ -1,0 +1,103 @@
+"""End-to-end CLI tests: jconf parsing + the recognizer app."""
+
+import io as _io
+import os
+
+import numpy as np
+import pytest
+
+from julius_tpu.io.htk_hmm import parse_hmmdefs_text
+from julius_tpu.io.htk_param import HTKParam, write_htk_param
+from julius_tpu.io.htk_dict import Vocabulary, parse_dict_line
+from julius_tpu.jconf import parse_jconf
+from julius_tpu.tools import recognize
+
+from fixtures import (make_arpa_text, make_dict_text, make_hmmdefs_text,
+                      sample_states_and_frames)
+
+
+def test_jconf_parse_sections(tmp_path):
+    inc = tmp_path / "sub.jconf"
+    inc.write_text("-b 400\n-lmp 9.0 -1.0\n")
+    main = tmp_path / "main.jconf"
+    main.write_text(
+        "# comment\n"
+        "-C sub.jconf\n"
+        "-smpFreq 8000\n"
+        "-n 3 -m 1000\n"
+    )
+    cfg = parse_jconf(["-C", str(main)])
+    assert cfg.searches[0].beam_width == 400
+    assert cfg.searches[0].lm_weight == 9.0
+    assert cfg.searches[0].lm_penalty == -1.0
+    assert cfg.searches[0].nbest == 3
+    assert cfg.ams[0].frontend.sample_rate == 8000
+
+
+def test_jconf_multi_instance():
+    cfg = parse_jconf([
+        "-AM", "am1", "-h", "x.hmm",
+        "-AM", "am2", "-h", "y.hmm",
+        "-LM", "lm1", "-v", "d.dict", "-d", "l.arpa",
+        "-SR", "s1", "am1", "lm1",
+        "-SR", "s2", "am2", "lm1",
+    ])
+    assert [a.name for a in cfg.ams] == ["am1", "am2"]
+    assert len(cfg.searches) == 2
+    assert cfg.searches[1].am_name == "am2"
+
+
+def test_jconf_unknown_option_warns():
+    cfg = parse_jconf(["-notarealoption", "xyz", "-n", "2"])
+    assert "-notarealoption" in cfg.unknown
+    assert cfg.searches[0].nbest == 2
+
+
+def test_jconf_htkconf(tmp_path):
+    conf = tmp_path / "config"
+    conf.write_text(
+        "SOURCERATE = 625\nTARGETKIND = MFCC_E_D_Z\n"
+        "WINDOWSIZE = 250000.0\nTARGETRATE = 100000.0\n"
+        "NUMCHANS = 24\nNUMCEPS = 12\n")
+    cfg = parse_jconf(["-htkconf", str(conf)])
+    fe = cfg.ams[0].frontend
+    assert fe.sample_rate == 16000
+    assert fe.frame_ms == 25.0 and fe.shift_ms == 10.0
+    assert fe.use_energy and fe.use_delta and fe.cmn and not fe.use_accel
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("models")
+    (d / "am.hmm").write_text(make_hmmdefs_text(
+        phones=("a", "b", "c", "sil"), dim=4, n_states=3, n_mix=2))
+    (d / "words.dict").write_text(make_dict_text())
+    (d / "lm.arpa").write_text(make_arpa_text())
+    (d / "run.jconf").write_text(
+        "-h am.hmm\n-v words.dict\n-d lm.arpa\n"
+        "-lmp 2.0 0.0\n-input mfcfile\n")
+    return d
+
+
+def test_recognize_cli_end_to_end(model_dir, tmp_path, capsys):
+    hmm = parse_hmmdefs_text(make_hmmdefs_text(
+        phones=("a", "b", "c", "sil"), dim=4, n_states=3, n_mix=2))
+    voca = Vocabulary()
+    for line in make_dict_text().splitlines():
+        parse_dict_line(line, voca)
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    truth = ["<s>", "AB", "ABC", "</s>"]
+    rng = np.random.default_rng(0)
+    pids = [hmm.phone_index[p] for w in truth
+            for p in voca.phones[name2id[w]]]
+    frames, _ = sample_states_and_frames(hmm, pids, rng)
+    mfc = str(tmp_path / "utt1.mfc")
+    write_htk_param(mfc, HTKParam(data=frames, samp_period=100000,
+                                  kind="MFCC_E"))
+
+    rc = recognize.main(["-C", str(model_dir / "run.jconf"), mfc])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sentence1: ab abc" in out       # dict outputs; sil words empty
+    assert "wseq1: <s> AB ABC </s>" in out
+    assert "score1:" in out
