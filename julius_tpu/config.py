@@ -208,6 +208,8 @@ class SearchConfig:
     beam_width: int = 0             # 0 = full (dense) Viterbi, no pruning
     trellis_topm: int = 64          # word-ends recorded per frame
     crossword_topk: int = 16        # word-ends expanded cross-word per frame
+    factoring: int = 1              # 1 = unigram entry (fast), 2 = exact
+                                    # bigram entry (reference factor1/2)
     score_prune_width: float = 0.0  # 0 = off
     # pass-2
     enable_pass2: bool = True

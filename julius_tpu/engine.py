@@ -53,6 +53,7 @@ class Result:
     confnet: Optional[list] = None        # [CNCluster] (confnet_out)
     from_pass: int = 1
     valid: bool = True
+    reject_reason: Optional[str] = None
 
 
 class Engine:
@@ -117,16 +118,23 @@ class Engine:
             use_lm=lm is not None,
             use_dfa=dfa is not None,
             crossword=(lmtype != "word"),
+            factoring=sc.factoring,
+            expand_k=sc.crossword_topk,
         )
+
+        # input-rejection hooks (reference recogmain.c:1106-1256,
+        # gmm.c rejection; configure via attributes or fusion layer)
+        self.gmm_frontend = None          # frontend.gmm_frontend.GMMFrontend
+        self.reject_short_frames: int = 0
+        self.reject_long_frames: int = 0
 
         # acoustic scorer
         self.gmm_tables: Optional[GMMScorerTables] = None
         self.dnn_scorer: Optional[DNNScorer] = None
+        self._setup_pseudo_arrays()
         if dnn is not None:
             self.dnn_scorer = build_dnn_scorer(dnn)
             self.dnn_params = dnn
-            # pseudo aggregation still needs member tables
-            self._setup_pseudo_arrays()
         else:
             self.gmm_tables = build_gmm_tables(hmm, self.net.pseudo)
 
@@ -202,13 +210,51 @@ class Engine:
                                  out_ext, nfr)
         return trellis, nfr
 
+    def _reject(self, feats_b: Optional[np.ndarray], n: int) -> Optional[str]:
+        """Input rejection checks; returns a reason or None (reference
+        recogmain.c short/long rejection + gmm_valid_input)."""
+        if self.reject_short_frames and n < self.reject_short_frames:
+            return "too short"
+        if self.reject_long_frames and n > self.reject_long_frames:
+            return "too long"
+        if self.gmm_frontend is not None and feats_b is not None:
+            g = self.gmm_frontend.verify(feats_b[:n])
+            if not g.accepted:
+                return f"GMM rejected ({g.best_name})"
+        return None
+
     def decode_features(self, feats: jnp.ndarray, n_frames: jnp.ndarray):
         """Decode pre-extracted features [B, T, D] (reference mfcfile /
-        outprob-input paths)."""
+        vecnet feature input paths)."""
         out_ext = jax.jit(self._outprob)(feats)
         trellis = jax.jit(partial(
             p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
             out_ext, n_frames)
+        return self._results(trellis, np.asarray(n_frames))
+
+    def compute_outprob(self, feats: jnp.ndarray) -> np.ndarray:
+        """[B, T, D] -> senone score rows (for -outprobout dump /
+        vecnet outprob serving, reference recogmain.c:1225-1242)."""
+        rows = jax.jit(self._outprob)(feats)
+        S = self.hmm.n_states
+        return np.asarray(rows[..., :S])
+
+    def decode_outprob(self, rows: np.ndarray, n_frames: jnp.ndarray):
+        """Decode directly from state output probabilities [B, T, S]
+        (reference SP_OUTPROBFILE input / vecnet outprob_p mode)."""
+        rows = jnp.asarray(rows, dtype=jnp.float32)
+
+        def extend(r):
+            if self._pseudo is not None:
+                mem, seg, nq = self._pseudo
+                return jnp.concatenate(
+                    [r, aggregate_pseudo(mem, seg, nq, r)], axis=-1)
+            return r
+
+        out_ext = jax.jit(extend)(rows)
+        trellis = jax.jit(partial(
+            p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
+            out_ext, jnp.asarray(n_frames))
         return self._results(trellis, np.asarray(n_frames))
 
     # -- public API -------------------------------------------------------
@@ -226,9 +272,15 @@ class Engine:
         wave = jnp.asarray(wave, dtype=jnp.float32)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
         trellis, nfr = self._decode_jit(wave, lengths)
-        return self._results(trellis, np.asarray(nfr))
+        feats = None
+        if self.gmm_frontend is not None:
+            feats = np.asarray(jax.jit(
+                lambda w, l: fe.extract_features(w, l, self.fe_tables)[0])(
+                wave, lengths))
+        return self._results(trellis, np.asarray(nfr), feats)
 
-    def _results(self, trellis, nfr: np.ndarray) -> List[Result]:
+    def _results(self, trellis, nfr: np.ndarray,
+                 feats: Optional[np.ndarray] = None) -> List[Result]:
         out = []
         B = nfr.shape[0]
         tr_host = jax.tree_util.tree_map(np.asarray, trellis)
@@ -236,6 +288,11 @@ class Engine:
             tb = jax.tree_util.tree_map(lambda a: a[b], tr_host)
             if nfr[b] <= 0:
                 out.append(Result(valid=False))
+                continue
+            reason = self._reject(
+                feats[b] if feats is not None else None, int(nfr[b]))
+            if reason is not None:
+                out.append(Result(valid=False, reject_reason=reason))
                 continue
             res = None
             if self.search_cfg.enable_pass2 and self.lmtype != "word":

@@ -97,6 +97,66 @@ class MapCMN:
         if var is not None:
             self.prior_var = np.asarray(var, dtype=np.float64)
 
+    def load_file(self, path: str):
+        mean, var = load_cmn_file(path)
+        self.load(mean, var)
+
+    def save_file(self, path: str):
+        if self.prior is None:
+            raise ValueError("no CMN statistics to save yet")
+        save_cmn_file(path, self.prior, self.prior_var)
+
+
+def load_cmn_file(path: str):
+    """Read a -cmnload file: HTK-ascii '<CEPSNORM> <MEAN> n ...
+    [<VARIANCE> n ...]' (4.3+) or the old binary int32 veclen + f32
+    means (reference CMN_load_from_file wav2mfcc-pipe.c:508)."""
+    with open(path, "rb") as f:
+        head = f.read(5)
+    if head[:1] == b"<" and head[1:5].upper() == b"CEPS":
+        toks = []
+        with open(path, "rt") as f:
+            for line in f:
+                toks.extend(line.replace("<", " <").replace(">", "> ")
+                            .split())
+        mean = var = None
+        i = 0
+        while i < len(toks):
+            t = toks[i].strip("<>").upper()
+            if t in ("MEAN", "VARIANCE"):
+                n = int(float(toks[i + 1]))
+                vals = np.asarray([float(x) for x in
+                                   toks[i + 2: i + 2 + n]], np.float64)
+                if t == "MEAN":
+                    mean = vals
+                else:
+                    var = vals
+                i += 2 + n
+            else:
+                i += 1
+        if mean is None:
+            raise ValueError(f"no <MEAN> in CMN file {path}")
+        return mean, var
+    # old binary format
+    raw = np.fromfile(path, dtype="<i4", count=1)
+    veclen = int(raw[0])
+    mean = np.fromfile(path, dtype="<f4", offset=4)[:veclen]
+    return mean.astype(np.float64), None
+
+
+def save_cmn_file(path: str, mean: np.ndarray,
+                  var: Optional[np.ndarray] = None) -> None:
+    """Write -cmnsave format (reference CMN_save_to_file)."""
+    with open(path, "wt") as f:
+        f.write("<CEPSNORM> <>\n")
+        f.write(f"<MEAN> {len(mean)}\n")
+        for v in mean:
+            f.write(f" {v:e}\n")
+        if var is not None:
+            f.write(f"<VARIANCE> {len(var)}\n")
+            for v in var:
+                f.write(f" {v:e}\n")
+
 
 class StreamingFrontend:
     """Chunked feature extraction with delta lag and MAP-CMN."""

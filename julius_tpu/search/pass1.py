@@ -167,6 +167,12 @@ class Pass1Config:
     use_lm: bool = True         # ngram mode vs grammar/isolated-word
     use_dfa: bool = False       # category-pair constrained cross-word
     crossword: bool = True      # False = isolated word recognition
+    # LM factoring at word entry (reference configure --enable-factor1/2):
+    # 1 = unigram at entry + exact 2-gram swap at word end (default),
+    # 2 = exact 2-gram at entry for the top expand_k contexts (costlier,
+    #     context-dependent entry winners like the reference's factor2)
+    factoring: int = 1
+    expand_k: int = 8
 
 
 class Trellis(NamedTuple):
@@ -217,8 +223,12 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         v_lm = jnp.where(ctx >= 0, dev.wid2lm[jnp.maximum(ctx, 0)], -1)
         bi = bigram_score(ngram, v_lm, jnp.maximum(w_lm, 0))
         uni = ngram.uni[jnp.maximum(w_lm, 0)]
-        delta = cfg.lm_weight * (bi - uni)
-        delta = jnp.where(w_lm >= 0, delta, 0.0)
+        if cfg.factoring >= 2:
+            # entry already applied the exact 2-gram; no swap needed
+            delta = jnp.zeros_like(sc)
+        else:
+            delta = cfg.lm_weight * (bi - uni)
+            delta = jnp.where(w_lm >= 0, delta, 0.0)
         lm_sc = jnp.where(
             w_lm >= 0,
             cfg.lm_weight * bi + cfg.lm_penalty, cfg.lm_penalty)
@@ -251,7 +261,8 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     return atoms
 
 
-def _entry_scores(dev: DeviceNetwork, cfg: Pass1Config, atoms: Trellis,
+def _entry_scores(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                  cfg: Pass1Config, atoms: Trellis,
                   t: jnp.ndarray):
     """Cross-word expansion: per-word entry score + payload.
 
@@ -277,6 +288,26 @@ def _entry_scores(dev: DeviceNetwork, cfg: Pass1Config, atoms: Trellis,
         return (ent,
                 jnp.maximum(atoms.word[k], 0),
                 atoms_prev_flat(atoms, k, t))
+    if cfg.use_lm and cfg.factoring >= 2 and ngram is not None:
+        # exact 2-gram at entry: per-word winners over the top-K
+        # contexts ([K, V] vectorised hash probes)
+        K = min(cfg.expand_k, atoms.word.shape[0])
+        aw = atoms.word[:K]
+        asc = jnp.where(valid[:K], atoms.score[:K], LOG_ZERO)
+        v_lm = jnp.where(aw >= 0, dev.wid2lm[jnp.maximum(aw, 0)], -1)
+        w_lm = dev.wid2lm                                   # [V]
+        bi = bigram_score(ngram, v_lm[:, None],
+                          jnp.maximum(w_lm, 0)[None, :])    # [K, V]
+        uni = ngram.uni[jnp.maximum(w_lm, 0)][None, :]
+        # pass1_step adds word_entry_lm = lw*uni + pen at the merge, so
+        # the increment here is lw*(bigram - uni)
+        sc = asc[:, None] + cfg.lm_weight * (bi - uni)
+        sc = jnp.where(w_lm[None, :] >= 0, sc, asc[:, None])
+        k_best = jnp.argmax(sc, axis=0)                     # [V]
+        ent = jnp.max(sc, axis=0)
+        ctx_new = jnp.maximum(aw[k_best], -1)
+        prev_new = atoms_prev_flat(atoms, k_best, t)
+        return ent, ctx_new, prev_new
     best = jnp.argmax(jnp.where(valid, atoms.score, LOG_ZERO))
     ent = jnp.where(valid[best], atoms.score[best], LOG_ZERO)
     ctx_new = jnp.where(valid[best], atoms.word[best], -1)
@@ -358,7 +389,7 @@ def pass1_step(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         prev = state.prev[src]
 
     if cfg.crossword:
-        ent, ectx, eprev = _entry_scores(dev, cfg, atoms, t)
+        ent, ectx, eprev = _entry_scores(dev, ngram, cfg, atoms, t)
         wq = jnp.maximum(dev.entry_word, 0)
         cand_e = jnp.where(
             dev.entry_word >= 0,
