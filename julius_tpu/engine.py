@@ -71,6 +71,9 @@ class Engine:
         dfa=None,
         word_cat: Optional[np.ndarray] = None,
         lmtype: Optional[str] = None,
+        iwsp: bool = False,
+        sp_name: str = "sp",
+        iwsp_penalty: float = -1.0,
     ):
         self.hmm = hmm
         self.voca = voca
@@ -90,8 +93,9 @@ class Engine:
 
         # decode network (host) + device tables
         use_tri = hmm.names_are_triphone and not self.am_cfg.force_mono
-        self.net: DecodeNetwork = build_network(hmm, voca,
-                                                use_triphone=use_tri)
+        self.net: DecodeNetwork = build_network(
+            hmm, voca, use_triphone=use_tri,
+            iwsp=iwsp, sp_name=sp_name, iwsp_penalty=iwsp_penalty)
         self.ngram_dev: Optional[DeviceNgram] = (
             build_device_ngram(lm) if lm is not None else None)
         sc = self.search_cfg
@@ -105,11 +109,15 @@ class Engine:
         elif lmtype == "word":
             # isolated-word recognition: any word may end the input
             self.final_mask = np.ones(voca.n_words, dtype=bool)
+        transparent = np.asarray(voca.transparent, dtype=bool) \
+            if voca.transparent else None
         self.dev_net = p1.build_device_network(
             self.net, self.ngram_dev, wid2lm,
             lm_weight=sc.lm_weight, lm_penalty=sc.lm_penalty,
             word_cat=word_cat, cpair=cpair,
-            cat_init=cat_init, cat_final=cat_final)
+            cat_init=cat_init, cat_final=cat_final,
+            transparent=transparent,
+            transparent_penalty=sc.transparent_penalty)
         self.p1_cfg = p1.Pass1Config(
             n_atoms=sc.trellis_topm,
             lm_weight=sc.lm_weight,

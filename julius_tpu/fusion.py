@@ -168,7 +168,8 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
         lmtype, voca, ngram, dfa, word_cat = lm_cache[id(lm_cfg)]
         eng = Engine(hmm, voca, lm=ngram, dnn=dnn,
                      frontend=am_cfg.frontend, search=sr, am_cfg=am_cfg,
-                     dfa=dfa, word_cat=word_cat, lmtype=lmtype)
+                     dfa=dfa, word_cat=word_cat, lmtype=lmtype,
+                     iwsp=lm_cfg.enable_iwsp)
         engines.append(eng)
         jlog(LogLevel.STAT,
              f"instance '{sr.name}': AM={am_cfg.name} LM={lm_cfg.name} "

@@ -121,8 +121,16 @@ def build_network(
     voca: Vocabulary,
     use_triphone: Optional[bool] = None,
     pseudo: Optional[PseudoPhoneSets] = None,
+    iwsp: bool = False,
+    sp_name: str = "sp",
+    iwsp_penalty: float = -1.0,
 ) -> DecodeNetwork:
-    """Compile vocabulary + HMM set into a flat decode network."""
+    """Compile vocabulary + HMM set into a flat decode network.
+
+    iwsp appends a skippable short-pause model after every word
+    (reference -iwsp multipath mode, wchmm.c iwsp insertion): the word
+    may exit directly or through the sp states, entered with
+    iwsp_penalty (default.c:144)."""
     if use_triphone is None:
         use_triphone = hmm.names_are_triphone
 
@@ -194,6 +202,30 @@ def build_network(
             if tee > _NEG_HALF:
                 nxt.extend((src, acc + tee) for src, acc in frontier)
             frontier = nxt
+        if iwsp:
+            sp = hmm.logical_map.get(sp_name, hmm.phone_index.get(sp_name))
+            if sp is not None:
+                ns = int(hmm.phone_ns[sp])
+                trans = hmm.phone_trans[sp]
+                nodes = [add_node(int(hmm.phone_states[sp, j]))
+                         for j in range(ns)]
+                epairs, _tee = _phone_entry_pairs(trans, ns)
+                for src, acc in frontier:
+                    if src < 0:
+                        continue
+                    for j, elp in epairs:
+                        lp = acc + elp + iwsp_penalty
+                        if lp > _NEG_HALF:
+                            arcs.append((src, nodes[j], lp))
+                for i in range(ns):
+                    for j in range(ns):
+                        lp = float(trans[i + 1, j + 1])
+                        if lp > _NEG_HALF:
+                            arcs.append((nodes[i], nodes[j], lp))
+                # word may end through sp (in addition to skipping it)
+                frontier = frontier + [
+                    (nodes[i], float(trans[i + 1, ns + 1]))
+                    for i in range(ns) if trans[i + 1, ns + 1] > _NEG_HALF]
         for src, acc in frontier:
             if src < 0:
                 raise ValueError(

@@ -74,6 +74,7 @@ class DeviceNetwork:
     exit_nlp: jnp.ndarray     # [Ex] exit ln p
     word_entry_lm: jnp.ndarray  # [V] lm_weight*log10 uni + penalty at entry
     wid2lm: jnp.ndarray       # [V] vocab word -> LM word id (-1 if no LM)
+    transparent: jnp.ndarray  # [V] bool: word passes LM context through
     word_cat: jnp.ndarray     # [V] DFA category id (grammar mode) or 0
     cpair: Optional[jnp.ndarray]  # [C, C] bool category-pair constraint
     cat_init: Optional[jnp.ndarray]   # [C] bool: category allowed initially
@@ -88,7 +89,7 @@ jax.tree_util.register_dataclass(
     data_fields=["score_idx", "in_src", "in_lp", "loc_lp",
                  "entry_word", "entry_lp",
                  "exit_word", "exit_lp", "exit_nodes", "exit_w", "exit_nlp",
-                 "word_entry_lm", "wid2lm",
+                 "word_entry_lm", "wid2lm", "transparent",
                  "word_cat", "cpair", "cat_init", "cat_final"],
     meta_fields=["head_word", "tail_word", "local_k"],
 )
@@ -104,16 +105,21 @@ def build_device_network(
     cpair: Optional[np.ndarray] = None,
     cat_init: Optional[np.ndarray] = None,
     cat_final: Optional[np.ndarray] = None,
+    transparent: Optional[np.ndarray] = None,
+    transparent_penalty: float = 0.0,
 ) -> DeviceNetwork:
     V = net.n_words
+    if transparent is None:
+        transparent = np.zeros(V, dtype=bool)
+    pen = np.where(transparent, transparent_penalty, lm_penalty)
     if ngram is not None and wid2lm is not None:
         uni = np.asarray(ngram.uni)
         w_lm = np.where(wid2lm >= 0, wid2lm, 0)
         entry = lm_weight * np.where(
-            wid2lm >= 0, uni[w_lm], LOG_ZERO) + lm_penalty
+            wid2lm >= 0, uni[w_lm], LOG_ZERO) + pen
     else:
         wid2lm = np.full(V, -1, dtype=np.int32)
-        entry = np.full(V, lm_penalty, dtype=np.float32)
+        entry = pen.astype(np.float32)
     exit_nodes = np.flatnonzero(net.exit_word >= 0).astype(np.int32)
 
     # shift-structured transition tables (fast path): valid when every
@@ -145,6 +151,7 @@ def build_device_network(
         exit_nlp=jnp.asarray(net.exit_lp[exit_nodes]),
         word_entry_lm=jnp.asarray(entry, dtype=jnp.float32),
         wid2lm=jnp.asarray(wid2lm, dtype=jnp.int32),
+        transparent=jnp.asarray(transparent, dtype=bool),
         word_cat=jnp.asarray(
             word_cat if word_cat is not None else np.zeros(V, np.int32)),
         cpair=None if cpair is None else jnp.asarray(cpair),
@@ -183,6 +190,10 @@ class Trellis(NamedTuple):
     lm: jnp.ndarray      # f32 LM score of this word (weighted, + penalty)
     prev: jnp.ndarray    # int32 flattened atom id of predecessor word end
     begin: jnp.ndarray   # int32 first frame of the word
+    ectx: jnp.ndarray    # int32 effective LM context for what follows
+    #                      (the word itself, or — for transparent words —
+    #                      the context it inherited; reference transparent
+    #                      word handling in beam.c)
 
 
 class Pass1State(NamedTuple):
@@ -242,12 +253,18 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     csc, order = jax.lax.top_k(corrected, m_eff)
     take = lambda a: a[order]
     prev_sel = take(state.prev[idx])
+    w_sel = take(w)
+    # transparent words pass their inherited LM context onward
+    ctx_sel = take(ctx)
+    ectx = jnp.where(dev.transparent[jnp.maximum(w_sel, 0)],
+                     ctx_sel, w_sel)
     atoms = Trellis(
-        word=jnp.where(csc > NEG_HALF, take(w), -1),
+        word=jnp.where(csc > NEG_HALF, w_sel, -1),
         score=csc,
         lm=take(lm_sc),
         prev=prev_sel,
         begin=jnp.where(prev_sel >= 0, prev_sel // M + 1, 0),
+        ectx=ectx,
     )
     if m_eff < M:
         pad = M - m_eff
@@ -257,6 +274,7 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
             lm=jnp.pad(atoms.lm, (0, pad)),
             prev=jnp.pad(atoms.prev, (0, pad), constant_values=-1),
             begin=jnp.pad(atoms.begin, (0, pad)),
+            ectx=jnp.pad(atoms.ectx, (0, pad), constant_values=-1),
         )
     return atoms
 
@@ -292,7 +310,7 @@ def _entry_scores(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         # exact 2-gram at entry: per-word winners over the top-K
         # contexts ([K, V] vectorised hash probes)
         K = min(cfg.expand_k, atoms.word.shape[0])
-        aw = atoms.word[:K]
+        aw = atoms.ectx[:K]
         asc = jnp.where(valid[:K], atoms.score[:K], LOG_ZERO)
         v_lm = jnp.where(aw >= 0, dev.wid2lm[jnp.maximum(aw, 0)], -1)
         w_lm = dev.wid2lm                                   # [V]
@@ -310,7 +328,7 @@ def _entry_scores(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         return ent, ctx_new, prev_new
     best = jnp.argmax(jnp.where(valid, atoms.score, LOG_ZERO))
     ent = jnp.where(valid[best], atoms.score[best], LOG_ZERO)
-    ctx_new = jnp.where(valid[best], atoms.word[best], -1)
+    ctx_new = jnp.where(valid[best], atoms.ectx[best], -1)
     prev_new = atoms_prev_flat(atoms, best, t)
     return (jnp.full((V,), ent),
             jnp.full((V,), ctx_new),
