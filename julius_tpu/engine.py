@@ -74,10 +74,18 @@ class Engine:
         iwsp: bool = False,
         sp_name: str = "sp",
         iwsp_penalty: float = -1.0,
+        lm_forward: Optional[NGramLM] = None,
     ):
         self.hmm = hmm
         self.voca = voca
-        self.lm = lm
+        self.lm = lm            # pass-2 LM (forward or backward/RL)
+        # pass-1 always uses a forward 2-gram (reference pairs a forward
+        # 2-gram with the backward N-gram; m_fusion.c initialize_ngram)
+        if lm is not None and lm.direction == "RL":
+            from julius_tpu.io.arpa import forward_view
+            self.lm_p1 = forward_view(lm, lm_forward)
+        else:
+            self.lm_p1 = lm
         self.dfa = dfa
         self.search_cfg = search or SearchConfig()
         self.am_cfg = am_cfg or AMConfig()
@@ -89,7 +97,10 @@ class Engine:
         self.lmtype = lmtype
 
         self._resolve_silwords()
-        wid2lm = self._map_vocab_to_lm()
+        wid2lm = self._map_vocab_to_lm(self.lm_p1)
+        # pass-2 may use a different id space (separate -nlr/-nrl ARPAs)
+        self._wid2lm_p2 = (wid2lm if self.lm is self.lm_p1
+                           else self._map_vocab_to_lm(self.lm))
 
         # decode network (host) + device tables
         use_tri = hmm.names_are_triphone and not self.am_cfg.force_mono
@@ -97,7 +108,8 @@ class Engine:
             hmm, voca, use_triphone=use_tri,
             iwsp=iwsp, sp_name=sp_name, iwsp_penalty=iwsp_penalty)
         self.ngram_dev: Optional[DeviceNgram] = (
-            build_device_ngram(lm) if lm is not None else None)
+            build_device_ngram(self.lm_p1)
+            if self.lm_p1 is not None else None)
         sc = self.search_cfg
         self.word_cat = word_cat
         self.final_mask: Optional[np.ndarray] = None
@@ -157,14 +169,14 @@ class Engine:
         self.voca.head_silword = head
         self.voca.tail_silword = tail
 
-    def _map_vocab_to_lm(self) -> Optional[np.ndarray]:
-        if self.lm is None:
+    def _map_vocab_to_lm(self, lm) -> Optional[np.ndarray]:
+        if lm is None:
             return None
         V = self.voca.n_words
         out = np.full(V, -1, dtype=np.int32)
         n_miss = 0
         for i, name in enumerate(self.voca.names):
-            wid = self.lm.word_index.get(name, self.lm.unk_id)
+            wid = lm.word_index.get(name, lm.unk_id)
             if wid < 0:
                 n_miss += 1
             out[i] = wid
@@ -333,12 +345,16 @@ class Engine:
             nbest = p2.pass2_search_dfa(lattice, self.dfa, self.word_cat,
                                         self.search_cfg)
         else:
-            wid2lm = np.asarray(self.dev_net.wid2lm) if self.lm else None
             transparent = np.asarray(self.voca.transparent, dtype=bool) \
                 if self.voca.transparent else None
-            nbest = p2.pass2_search(lattice, self.lm, wid2lm,
-                                    self.search_cfg,
-                                    self.net.tail_word, transparent)
+            if self.lm is not None and self.lm.direction == "RL":
+                nbest = p2.pass2_search_backward(
+                    lattice, self.lm, self._wid2lm_p2, self.search_cfg,
+                    self.net.tail_word, self.net.head_word, transparent)
+            else:
+                nbest = p2.pass2_search(lattice, self.lm, self._wid2lm_p2,
+                                        self.search_cfg,
+                                        self.net.tail_word, transparent)
         if not nbest:
             return None
         if self.search_cfg.compute_confidence:

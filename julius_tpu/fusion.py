@@ -80,15 +80,18 @@ def load_lm(lm: LMConfig):
         if not lm.dict_path:
             raise ValueError(f"LM '{lm.name}': ngram mode needs -v dict")
         voca = load_htkdict(lm.dict_path)
-        ngram = None
+        ngram = fwd = None
         if lm.ngram_path:
             if _is_bingram(lm.ngram_path):
                 ngram = read_bingram(lm.ngram_path)
             else:
                 ngram = load_arpa(lm.ngram_path)
-        elif lm.ngram_backward_path:
+        if lm.ngram_backward_path:
+            # -nlr + -nrl pair: backward model drives pass 2, forward
+            # 2-gram drives pass 1 (reference initialize_ngram)
+            fwd = ngram
             ngram = load_arpa(lm.ngram_backward_path, direction="RL")
-        return "ngram", voca, ngram, None, None
+        return "ngram", voca, ngram, None, None, fwd
     if lm.lmtype == "grammar":
         if lm.gram_prefix:
             dfa, voca, word_cat = load_grammar(lm.gram_prefix)
@@ -112,12 +115,12 @@ def load_lm(lm: LMConfig):
             raise ValueError(
                 f"LM '{lm.name}': grammar mode needs -gram/-gramlist or "
                 "-dfa + -v")
-        return "grammar", voca, None, dfa, word_cat
+        return "grammar", voca, None, dfa, word_cat, None
     if lm.lmtype == "word":
         if not lm.wordlist_path:
             raise ValueError(f"LM '{lm.name}': word mode needs -w list")
         voca = load_wordlist(lm.wordlist_path)
-        return "word", voca, None, None, None
+        return "word", voca, None, None, None, None
     raise ValueError(f"unknown lmtype {lm.lmtype}")
 
 
@@ -165,11 +168,11 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
         hmm, dnn = am_cache[id(am_cfg)]
         if id(lm_cfg) not in lm_cache:
             lm_cache[id(lm_cfg)] = load_lm(lm_cfg)
-        lmtype, voca, ngram, dfa, word_cat = lm_cache[id(lm_cfg)]
+        lmtype, voca, ngram, dfa, word_cat, lm_fwd = lm_cache[id(lm_cfg)]
         eng = Engine(hmm, voca, lm=ngram, dnn=dnn,
                      frontend=am_cfg.frontend, search=sr, am_cfg=am_cfg,
                      dfa=dfa, word_cat=word_cat, lmtype=lmtype,
-                     iwsp=lm_cfg.enable_iwsp)
+                     iwsp=lm_cfg.enable_iwsp, lm_forward=lm_fwd)
         engines.append(eng)
         jlog(LogLevel.STAT,
              f"instance '{sr.name}': AM={am_cfg.name} LM={lm_cfg.name} "
