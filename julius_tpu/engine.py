@@ -147,6 +147,7 @@ class Engine:
         self.gmm_frontend = None          # frontend.gmm_frontend.GMMFrontend
         self.reject_short_frames: int = 0
         self.reject_long_frames: int = 0
+        self.noise_spectrum = None        # -ssload spectral subtraction
 
         # acoustic scorer
         self.gmm_tables: Optional[GMMScorerTables] = None
@@ -216,7 +217,9 @@ class Engine:
                                    if self.am_cfg.gprune == "topk" else 0))
 
     def _features(self, wave: jnp.ndarray, lengths: jnp.ndarray):
-        feats, mask = fe.extract_features(wave, lengths, self.fe_tables)
+        feats, mask = fe.extract_features(
+            wave, lengths, self.fe_tables,
+            noise_spectrum=self.noise_spectrum)
         if self.dnn_scorer is not None:
             feats = fe.splice_frames(feats, mask,
                                      self.dnn_params.context_len)
@@ -278,6 +281,12 @@ class Engine:
         return self._results(trellis, np.asarray(n_frames))
 
     # -- public API -------------------------------------------------------
+
+    def set_noise_spectrum(self, spec) -> None:
+        """Install a -ssload noise spectrum (invalidates the compiled
+        decode program since the front-end graph changes)."""
+        self.noise_spectrum = None if spec is None else jnp.asarray(spec)
+        self._decode_jit = jax.jit(self._decode_device)
 
     def align(self, feats: jnp.ndarray, n_frames: int,
               word_ids: List[int]):

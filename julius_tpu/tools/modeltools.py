@@ -161,7 +161,24 @@ def cmd_generate(args):
     return 0
 
 
+def cmd_mkss(args):
+    """mkss: estimate a noise spectrum from a silence recording."""
+    import numpy as np
+    from julius_tpu.config import FrontendConfig
+    from julius_tpu.io.ss import (estimate_noise_spectrum,
+                                  save_noise_spectrum)
+    from julius_tpu.io.wav import read_audio
+    src, dst = args[0], args[1]
+    wave = read_audio(src)
+    spec = estimate_noise_spectrum(wave, FrontendConfig())
+    save_noise_spectrum(dst, spec)
+    print(f"wrote {dst}: {len(spec)} points "
+          f"(mean magnitude {float(np.mean(spec)):.1f})")
+    return 0
+
+
 COMMANDS = {
+    "mkss": cmd_mkss,
     "mkbingram": cmd_mkbingram,
     "binlm2arpa": cmd_binlm2arpa,
     "mkbinhmm": cmd_mkbinhmm,
