@@ -129,7 +129,9 @@ class Engine:
             word_cat=word_cat, cpair=cpair,
             cat_init=cat_init, cat_final=cat_final,
             transparent=transparent,
-            transparent_penalty=sc.transparent_penalty)
+            transparent_penalty=sc.transparent_penalty,
+            cprob=(np.asarray(voca.cprob, dtype=np.float32)
+                   if voca.cprob and any(voca.cprob) else None))
         self.p1_cfg = p1.Pass1Config(
             n_atoms=sc.trellis_topm,
             lm_weight=sc.lm_weight,
@@ -361,9 +363,13 @@ class Engine:
                     lattice, self.lm, self._wid2lm_p2, self.search_cfg,
                     self.net.tail_word, self.net.head_word, transparent)
             else:
+                cprob = (np.asarray(self.voca.cprob, dtype=np.float32)
+                         if self.voca.cprob and any(self.voca.cprob)
+                         else None)
                 nbest = p2.pass2_search(lattice, self.lm, self._wid2lm_p2,
                                         self.search_cfg,
-                                        self.net.tail_word, transparent)
+                                        self.net.tail_word, transparent,
+                                        cprob)
         if not nbest:
             return None
         if self.search_cfg.compute_confidence:

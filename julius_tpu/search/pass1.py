@@ -107,11 +107,16 @@ def build_device_network(
     cat_final: Optional[np.ndarray] = None,
     transparent: Optional[np.ndarray] = None,
     transparent_penalty: float = 0.0,
+    cprob: Optional[np.ndarray] = None,
 ) -> DeviceNetwork:
     V = net.n_words
     if transparent is None:
         transparent = np.zeros(V, dtype=bool)
     pen = np.where(transparent, transparent_penalty, lm_penalty)
+    if cprob is not None:
+        # class N-gram in-class log10 prob, added unweighted like the
+        # reference (beam.c:1729,2450 CLASS_NGRAM)
+        pen = pen + np.asarray(cprob, dtype=np.float32)
     if ngram is not None and wid2lm is not None:
         uni = np.asarray(ngram.uni)
         w_lm = np.where(wid2lm >= 0, wid2lm, 0)

@@ -105,6 +105,7 @@ def pass2_search(
     cfg: SearchConfig,
     tail_word: int,
     transparent: Optional[np.ndarray] = None,
+    cprob: Optional[np.ndarray] = None,
 ) -> List[NBestResult]:
     """A* N-best over the trellis lattice.  Returns up to cfg.nbest
     sentences, best first (reference result_reorder_and_output)."""
@@ -112,6 +113,10 @@ def pass2_search(
     if T == 0:
         return []
     lw2, pen2 = cfg.lm_weight2, cfg.lm_penalty2
+
+    def word_pen(w: int) -> float:
+        # class N-gram in-class prob added unweighted (ngram_decode.c:274)
+        return pen2 + (float(cprob[w]) if cprob is not None else 0.0)
 
     def lm_logprob(ctx_words: Tuple[int, ...], w: int) -> float:
         if lm is None or wid2lm is None:
@@ -145,7 +150,7 @@ def pass2_search(
     for (t, m) in lattice.by_begin.get(0, []):
         w = int(lattice.word[t, m])
         am = lattice.am_of(t, m)
-        lms = lw2 * lm_logprob((), w) + pen2
+        lms = lw2 * lm_logprob((), w) + word_pen(w)
         sc = am + lms
         rest = best_total - float(lattice.score[t, m])
         heapq.heappush(stack, Hypo(
@@ -182,7 +187,7 @@ def pass2_search(
         for (nt, nm) in lattice.by_begin.get(t + 1, []):
             w = int(lattice.word[nt, nm])
             am = lattice.am_of(nt, nm)
-            lms = lw2 * lm_logprob(lm_ctx(h.words), w) + pen2
+            lms = lw2 * lm_logprob(lm_ctx(h.words), w) + word_pen(w)
             nsc = exact + am + lms
             rest = best_total - float(lattice.score[nt, nm])
             if len(stack) >= cfg.stack_size * 4:

@@ -31,13 +31,26 @@ from julius_tpu.utils.logadd import LOG_ZERO
 
 
 class StreamSession:
-    """One audio stream; yields a Result per detected speech segment."""
+    """One audio stream; yields a Result per detected speech segment.
+
+    spsegment enables decoder-driven segmentation (reference
+    spsegment.c / SPSEGMENT_NAIST): when the pass-1 best word has been
+    a silence word for sp_frames consecutive frames, the current
+    segment is finalised and decoding restarts — the TPU analogue of
+    the reference's short-pause segmentation with MFCC rewind."""
 
     def __init__(self, engine, vad: Optional[VADConfig] = None,
-                 use_vad: bool = True, block_frames: int = 16):
+                 use_vad: bool = True, block_frames: int = 16,
+                 spsegment: bool = False, sp_frames: int = 10):
         self.engine = engine
         self.block = block_frames
         self.use_vad = use_vad
+        self.spsegment = spsegment
+        self.sp_frames = sp_frames
+        self._sil_words = {engine.net.head_word, engine.net.tail_word}
+        for i, name in enumerate(engine.voca.names):
+            if all(p in ("sil", "sp") for p in engine.voca.phones[i]):
+                self._sil_words.add(i)
         self.detector = SpeechDetector(vad or VADConfig(
             sample_rate=engine.fe_cfg.sample_rate)) if use_vad else None
         self.frontend = StreamingFrontend(engine.fe_cfg)
@@ -72,6 +85,10 @@ class StreamSession:
             if not self._in_segment:
                 self._in_segment = True
             self._feed_frames(self.frontend.process(samples))
+            if self.spsegment:
+                r = self._check_sp_segment()
+                if r is not None:
+                    results.append(r)
             return results
         for ev in self.detector.feed(samples):
             if ev["type"] == "start":
@@ -84,6 +101,42 @@ class StreamSession:
                 if r is not None:
                     results.append(r)
         return results
+
+    def _check_sp_segment(self):
+        """Segment when the decoder's best word-end has been silence
+        for sp_frames consecutive frames after real speech (reference
+        spsegment_need_restart, spsegment.c:839)."""
+        n = len(self._atoms)
+        if n < self.sp_frames + 2:
+            return None
+        run = 0
+        for row in reversed(self._atoms):
+            w = int(row.word[np.argmax(row.score)]) \
+                if (row.word >= 0).any() else -1
+            if w in self._sil_words:
+                run += 1
+                if run >= self.sp_frames:
+                    break
+            else:
+                break
+        if run < self.sp_frames:
+            return None
+        # was there non-silence content before the run?
+        had_speech = any(
+            (row.word >= 0).any()
+            and int(row.word[np.argmax(row.score)]) not in self._sil_words
+            for row in self._atoms[: n - run])
+        if not had_speech:
+            return None
+        # finalise the current segment; remaining feature frames past
+        # the silence carry into the next segment (the reference's
+        # rest_param carry-over, recogmain.c:1415-1431)
+        rest = self._feat_pending[self._nframes:]
+        r = self._finish_segment()
+        self._in_segment = True
+        if rest:
+            self._feed_frames(np.asarray(rest))
+        return r
 
     def close(self) -> List:
         """End of stream: flush any open segment."""

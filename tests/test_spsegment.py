@@ -1,0 +1,66 @@
+"""Decoder-driven short-pause segmentation tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+from julius_tpu.config import FrontendConfig, SearchConfig
+from julius_tpu.engine import Engine
+from julius_tpu.io.arpa import parse_arpa
+from julius_tpu.io.htk_dict import Vocabulary, parse_dict_line
+from julius_tpu.io.htk_hmm import parse_hmmdefs_text
+from julius_tpu.streaming import StreamSession
+
+from fixtures import (make_arpa_text, make_dict_text, make_hmmdefs_text,
+                      sample_states_and_frames)
+
+
+def test_spsegment_splits_on_long_silence():
+    hmm = parse_hmmdefs_text(make_hmmdefs_text(
+        phones=("a", "b", "c", "sil"), dim=4, n_states=3, n_mix=2))
+    voca = Vocabulary()
+    for line in make_dict_text().splitlines():
+        parse_dict_line(line, voca)
+    lm = parse_arpa(io.StringIO(make_arpa_text()))
+    eng = Engine(hmm, voca, lm, search=SearchConfig(lm_weight=2.0))
+
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    rng = np.random.default_rng(0)
+
+    def frames_of(words, min_frames=0):
+        pids = [hmm.phone_index[p] for w in words
+                for p in voca.phones[name2id[w]]]
+        out, _ = sample_states_and_frames(hmm, pids, rng)
+        while out.shape[0] < min_frames:
+            more, _ = sample_states_and_frames(hmm, pids, rng)
+            out = np.concatenate([out, more])
+        return out
+
+    # two sentences with a long silence between them
+    part1 = frames_of(["<s>", "AB", "</s>"])
+    silence = frames_of(["<s>"] * 6, min_frames=40)   # long sil span
+    part2 = frames_of(["<s>", "BA", "</s>"])
+    frames = np.concatenate([part1, silence, part2])
+
+    sess = StreamSession(eng, use_vad=False, block_frames=8,
+                         spsegment=True, sp_frames=12)
+    # bypass the audio front-end: feed features directly
+    results = []
+    for ofs in range(0, frames.shape[0], 8):
+        chunk = frames[ofs: ofs + 8]
+        sess._feed_frames(chunk)
+        r = sess._check_sp_segment()
+        if r is not None:
+            results.append(r)
+    results.extend(sess.close())
+
+    assert len(results) >= 2, f"expected >=2 segments, got {len(results)}"
+    seg_words = [[w for w in r.words if w not in ("<s>", "</s>")]
+                 for r in results if r.valid]
+    flat = [w for seg in seg_words for w in seg]
+    assert "AB" in flat and "BA" in flat
+    # AB and BA in different segments
+    ab_seg = next(i for i, s in enumerate(seg_words) if "AB" in s)
+    ba_seg = next(i for i, s in enumerate(seg_words) if "BA" in s)
+    assert ab_seg != ba_seg
