@@ -47,6 +47,7 @@ class Result:
     am_score: float = 0.0
     lm_score: float = 0.0
     segments: List[dict] = field(default_factory=list)
+    alignment: Optional[object] = None    # search.align.Alignment
     cm: Optional[List[float]] = None      # per-word confidence
     nbest: List["Result"] = field(default_factory=list)
     graph: Optional[object] = None        # WordGraph (graph_out)
@@ -75,6 +76,7 @@ class Engine:
         sp_name: str = "sp",
         iwsp_penalty: float = -1.0,
         lm_forward: Optional[NGramLM] = None,
+        use_cache: bool = False,
     ):
         self.hmm = hmm
         self.voca = voca
@@ -104,9 +106,14 @@ class Engine:
 
         # decode network (host) + device tables
         use_tri = hmm.names_are_triphone and not self.am_cfg.force_mono
-        self.net: DecodeNetwork = build_network(
-            hmm, voca, use_triphone=use_tri,
-            iwsp=iwsp, sp_name=sp_name, iwsp_penalty=iwsp_penalty)
+        net_kwargs = dict(use_triphone=use_tri, iwsp=iwsp,
+                          sp_name=sp_name, iwsp_penalty=iwsp_penalty)
+        if use_cache:
+            from julius_tpu.cache import build_network_cached
+            self.net: DecodeNetwork = build_network_cached(
+                hmm, voca, **net_kwargs)
+        else:
+            self.net = build_network(hmm, voca, **net_kwargs)
         self.ngram_dev: Optional[DeviceNgram] = (
             build_device_ngram(self.lm_p1)
             if self.lm_p1 is not None else None)
@@ -255,7 +262,24 @@ class Engine:
         trellis = jax.jit(partial(
             p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
             out_ext, n_frames)
-        return self._results(trellis, np.asarray(n_frames))
+        results = self._results(trellis, np.asarray(n_frames))
+        self._maybe_align(results, feats, np.asarray(n_frames))
+        return results
+
+    def _maybe_align(self, results, feats, nfr: np.ndarray) -> None:
+        """Attach forced alignments when -walign/-palign/-salign are set
+        (reference do_alignment_all, word_align.c:547; the alignment
+        also refines word boundaries beyond the pass-1 Viterbi ones)."""
+        sc = self.search_cfg
+        if not (sc.align_word or sc.align_phoneme or sc.align_state):
+            return
+        for b, r in enumerate(results):
+            if r.valid and r.word_ids:
+                try:
+                    r.alignment = self.align(feats[b], int(nfr[b]),
+                                             r.word_ids)
+                except Exception as e:
+                    jlog(LogLevel.WARNING, f"alignment failed: {e}")
 
     def compute_outprob(self, feats: jnp.ndarray) -> np.ndarray:
         """[B, T, D] -> senone score rows (for -outprobout dump /
@@ -308,7 +332,12 @@ class Engine:
             feats = np.asarray(jax.jit(
                 lambda w, l: fe.extract_features(w, l, self.fe_tables)[0])(
                 wave, lengths))
-        return self._results(trellis, np.asarray(nfr), feats)
+        results = self._results(trellis, np.asarray(nfr), feats)
+        sc = self.search_cfg
+        if sc.align_word or sc.align_phoneme or sc.align_state:
+            afeats = jax.jit(self._features)(wave, lengths)[0]
+            self._maybe_align(results, afeats, np.asarray(nfr))
+        return results
 
     def _results(self, trellis, nfr: np.ndarray,
                  feats: Optional[np.ndarray] = None) -> List[Result]:

@@ -121,6 +121,23 @@ def main(argv=None):
             for path, r in zip(chunk, results):
                 print(f"\ninput: {path}")
                 print(format_result(r))
+                if r.alignment is not None:
+                    al = r.alignment
+                    if eng.search_cfg.align_word:
+                        print("=== word alignment ===")
+                        for w in al.words:
+                            print(f"[{w['begin']:4d} {w['end']:4d}] "
+                                  f"{w['word']}")
+                    if eng.search_cfg.align_phoneme:
+                        print("=== phoneme alignment ===")
+                        for p in al.phones:
+                            print(f"[{p['begin']:4d} {p['end']:4d}] "
+                                  f"{p['phone']}")
+                    if eng.search_cfg.align_state:
+                        print("=== state alignment ===")
+                        for s in al.states:
+                            print(f"[{s['begin']:4d} {s['end']:4d}] "
+                                  f"{s['phone']}.s{s['state']}")
                 if eng.search_cfg.graph_out and r.graph is not None:
                     from julius_tpu.search.graphout import graph_to_text
                     print("--- begin wordgraph data ---")
