@@ -265,6 +265,7 @@ class EngineConfig:
     module_port: Optional[int] = None
     adinnet_port: Optional[int] = None
     outfile: bool = False
+    outprob_out: Optional[str] = None   # -outprobout prefix
     unknown: list = field(default_factory=list)
 
     def am(self, name: str) -> AMConfig:

@@ -314,6 +314,8 @@ class JconfParser:
                 self.cfg.adinnet_port = int(nxt())
             elif o in ("-outfile",):
                 self.cfg.outfile = True
+            elif o == "-outprobout":
+                self.cfg.outprob_out = self.path(nxt())
             elif o in ("-quiet", "-demo", "-debug", "-progout", "-nolog"):
                 pass
             else:

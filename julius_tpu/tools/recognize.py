@@ -89,6 +89,7 @@ def main(argv=None):
     if not files:
         jlog(LogLevel.ERROR, "no input files (give paths or -filelist)")
         return 1
+    outprob_out = getattr(cfg, "outprob_out", None)
 
     B = max(1, cfg.batch_size)
     mfc_mode = cfg.input_source in ("mfcfile", "htkparam")
@@ -118,6 +119,21 @@ def main(argv=None):
                 results = eng.decode_features(batch, lens)
             else:
                 results = eng.recognize_batch(batch, lens)
+            if outprob_out:
+                # -outprobout: dump state scores as HTK USER params
+                # (reference recogmain.c:1225-1242)
+                import jax
+                from julius_tpu.io.htk_param import (HTKParam,
+                                                     write_htk_param)
+                feats = batch if mfc_mode else np.asarray(
+                    jax.jit(eng._features)(batch, lens)[0])
+                rows = eng.compute_outprob(feats)
+                for j, path in enumerate(chunk):
+                    out = f"{outprob_out}.{ofs + j:04d}.prob"
+                    write_htk_param(out, HTKParam(
+                        data=rows[j, : lens[j]].astype(np.float32),
+                        samp_period=100000, kind="USER"))
+                    print(f"outprob written: {out}")
             for path, r in zip(chunk, results):
                 print(f"\ninput: {path}")
                 print(format_result(r))
