@@ -168,6 +168,8 @@ class AMConfig:
     cmnload_path: Optional[str] = None
     cmnsave_path: Optional[str] = None
     cmn_update: bool = True
+    # spectral subtraction (-ssload; reference libsent/src/wav2mfcc/ss.c)
+    ssload_path: Optional[str] = None
 
 
 @dataclass
@@ -266,6 +268,17 @@ class EngineConfig:
     adinnet_port: Optional[int] = None
     outfile: bool = False
     outprob_out: Optional[str] = None   # -outprobout prefix
+    # output / logging (reference julius/output_stdout.c, output_file.c,
+    # record.c, charconv.c, main.c -logfile/-separatescore)
+    logfile: Optional[str] = None
+    quiet: bool = False
+    debug: bool = False
+    separatescore: bool = False
+    record_dir: Optional[str] = None    # -record: per-utterance wav dump
+    charconv: Optional[tuple] = None    # (from, to) output charset pair
+    progout: bool = False               # progressive pass-1 partials
+    proginterval_ms: int = 300
+    plugin_dirs: list = field(default_factory=list)   # -plugindir
     unknown: list = field(default_factory=list)
 
     def am(self, name: str) -> AMConfig:

@@ -151,6 +151,11 @@ class Engine:
             expand_k=sc.crossword_topk,
         )
 
+        # event/result callbacks (reference callback.c; see
+        # utils/callback.py for the event-name mapping)
+        from julius_tpu.utils.callback import CallbackRegistry
+        self.callbacks = CallbackRegistry()
+
         # input-rejection hooks (reference recogmain.c:1106-1256,
         # gmm.c rejection; configure via attributes or fusion layer)
         self.gmm_frontend = None          # frontend.gmm_frontend.GMMFrontend
@@ -360,7 +365,31 @@ class Engine:
             if res is None:
                 res = self._pass1_result(tb, int(nfr[b]))
             out.append(res)
+        for res in out:
+            self.callbacks.exec("result", res)
         return out
+
+    def register_user_lm(self, fn, order: int = 2) -> None:
+        """Install an application-provided LM for pass-2 rescoring
+        (reference j_regist_user_lm_func, jfunc.c / LM_NGRAM_USER).
+
+        ``fn(context_word_ids, word_id) -> log10 prob`` receives
+        *dictionary* word ids (most recent context last).  Pass-1
+        factoring scores still come from the loaded N-gram — like the
+        reference, pass 1 only approximates and pass 2 decides."""
+
+        class _UserLM:
+            direction = "LR"
+
+            def __init__(self, f, k):
+                self.order = k
+                self._f = f
+
+            def logprob(self, ctx, w):
+                return float(self._f(tuple(int(c) for c in ctx), int(w)))
+
+        self.lm = _UserLM(fn, order)
+        self._wid2lm_p2 = np.arange(self.voca.n_words, dtype=np.int64)
 
     def _pass1_result(self, tb, n_frames: int) -> Result:
         r = p1.backtrace(tb, n_frames, self.net.tail_word,

@@ -173,6 +173,9 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
                      frontend=am_cfg.frontend, search=sr, am_cfg=am_cfg,
                      dfa=dfa, word_cat=word_cat, lmtype=lmtype,
                      iwsp=lm_cfg.enable_iwsp, lm_forward=lm_fwd)
+        if am_cfg.ssload_path:
+            from julius_tpu.io.ss import load_noise_spectrum
+            eng.set_noise_spectrum(load_noise_spectrum(am_cfg.ssload_path))
         engines.append(eng)
         jlog(LogLevel.STAT,
              f"instance '{sr.name}': AM={am_cfg.name} LM={lm_cfg.name} "

@@ -192,6 +192,12 @@ class JconfParser:
                 self.am().frontend.cmn_map_weight = float(nxt())
             elif o in ("-cmnload", "-cmnsave"):
                 setattr(self.am(), o[1:] + "_path", self.path(nxt()))
+            elif o == "-ssload":
+                self.am().ssload_path = self.path(nxt())
+            elif o == "-ssalpha":
+                self.am().frontend.ss_alpha = float(nxt())
+            elif o == "-ssfloor":
+                self.am().frontend.ss_floor = float(nxt())
             elif o == "-cmnnoupdate":
                 self.am().cmn_update = False
             elif o == "-htkconf":
@@ -316,8 +322,34 @@ class JconfParser:
                 self.cfg.outfile = True
             elif o == "-outprobout":
                 self.cfg.outprob_out = self.path(nxt())
-            elif o in ("-quiet", "-demo", "-debug", "-progout", "-nolog"):
-                pass
+            elif o == "-logfile":
+                self.cfg.logfile = self.path(nxt())
+            elif o == "-separatescore":
+                self.cfg.separatescore = True
+            elif o == "-record":
+                self.cfg.record_dir = self.path(nxt())
+            elif o == "-charconv":
+                frm, to = nxt(2)
+                self.cfg.charconv = (frm, to)
+            elif o == "-nocharconv":
+                self.cfg.charconv = None
+            elif o == "-kanji":
+                # reference: output charset only (input assumed model charset)
+                self.cfg.charconv = ("utf-8", nxt())
+            elif o == "-progout":
+                self.cfg.progout = True
+            elif o == "-proginterval":
+                self.cfg.proginterval_ms = int(nxt())
+            elif o in ("-quiet", "-demo"):
+                self.cfg.quiet = True
+            elif o == "-debug":
+                self.cfg.debug = True
+            elif o == "-nolog":
+                self.cfg.logfile = os.devnull
+            elif o == "-plugindir":
+                # colon-separated list (reference plugin_load_dirs)
+                self.cfg.plugin_dirs.extend(
+                    self.path(p) for p in nxt().split(":") if p)
             else:
                 self.unknown.append(o)
                 jlog(LogLevel.WARNING, f"unknown option ignored: {o}")

@@ -41,12 +41,18 @@ class StreamSession:
 
     def __init__(self, engine, vad: Optional[VADConfig] = None,
                  use_vad: bool = True, block_frames: int = 16,
-                 spsegment: bool = False, sp_frames: int = 10):
+                 spsegment: bool = False, sp_frames: int = 10,
+                 progout: bool = False, prog_frames: int = 30):
         self.engine = engine
         self.block = block_frames
         self.use_vad = use_vad
         self.spsegment = spsegment
         self.sp_frames = sp_frames
+        # -progout: fire result_pass1_interim every prog_frames frames
+        # (reference output_stdout.c progout callback, -proginterval)
+        self.progout = progout
+        self.prog_frames = max(1, prog_frames)
+        self._last_prog = 0
         self._sil_words = {engine.net.head_word, engine.net.tail_word}
         for i, name in enumerate(engine.voca.names):
             if all(p in ("sil", "sp") for p in engine.voca.phones[i]):
@@ -74,6 +80,22 @@ class StreamSession:
         self._feat_pending: List[np.ndarray] = []   # frames awaiting splice
         self._nframes = 0
         self._in_segment = False
+        self._last_prog = 0
+
+    def _emit_progout(self):
+        """Progressive pass-1 partial result (reference RESULT_PASS1_INTERIM
+        via -progout; beam.c:2985-2992)."""
+        if not self.progout or \
+                self._nframes - self._last_prog < self.prog_frames or \
+                len(self._atoms) < 2:
+            return
+        self._last_prog = self._nframes
+        T = len(self._atoms)
+        tr = Trellis(*[np.stack([getattr(r, f) for r in self._atoms])
+                       for f in Trellis._fields])
+        res = self.engine._pass1_result(tr, T)
+        if res is not None and res.valid:
+            self.engine.callbacks.exec("result_pass1_interim", res)
 
     # -- public API -------------------------------------------------------
 
@@ -94,6 +116,7 @@ class StreamSession:
             if ev["type"] == "start":
                 self._in_segment = True
                 self.frontend.reset()
+                self.engine.callbacks.exec("event_speech_start")
             elif ev["type"] == "samples" and self._in_segment:
                 self._feed_frames(self.frontend.process(ev["data"]))
             elif ev["type"] == "end" and self._in_segment:
@@ -199,6 +222,7 @@ class StreamSession:
             for i in range(n_valid):
                 self._atoms.append(jax.tree_util.tree_map(
                     lambda a: a[i], host))
+        self._emit_progout()
 
     def _finish_segment(self):
         self._feed_frames(self.frontend.finalize(), final=True)
@@ -220,12 +244,17 @@ class StreamSession:
                        for f in Trellis._fields])
         res = None
         eng = self.engine
+        eng.callbacks.exec("event_speech_stop")
+        if eng.callbacks.exists("result_pass1"):
+            eng.callbacks.exec("result_pass1", eng._pass1_result(tr, T))
         if eng.search_cfg.enable_pass2 and eng.lmtype != "word":
+            eng.callbacks.exec("event_pass2_begin")
             res = eng._pass2_result(tr, T)
         if res is None:
             res = eng._pass1_result(tr, T)
         self._reset_segment()
         self._in_segment = False
+        eng.callbacks.exec("result", res)
         return res
 
 

@@ -1,6 +1,8 @@
 """Batch/streaming recognizer CLI — the `julius` application equivalent.
 
-Reference: `julius/main.c` + `recogloop.c` + `output_stdout.c`.  Usage:
+Reference: `julius/main.c` + `recogloop.c` + `output_stdout.c` (+
+`output_file.c` for -outfile, `record.c` for -record, `charconv.c` for
+-charconv).  Usage:
 
     python -m julius_tpu.tools.recognize -C file.jconf audio1.wav ...
     python -m julius_tpu.tools.recognize -h am.binhmm -v dict \\
@@ -9,8 +11,10 @@ Reference: `julius/main.c` + `recogloop.c` + `output_stdout.c`.  Usage:
 
 from __future__ import annotations
 
+import os
 import sys
-from typing import List
+import time
+from typing import List, Optional
 
 import numpy as np
 
@@ -18,7 +22,7 @@ from julius_tpu.engine import Result
 from julius_tpu.fusion import create_engines
 from julius_tpu.io.wav import read_audio
 from julius_tpu.jconf import parse_jconf
-from julius_tpu.utils.jlog import LogLevel, jlog
+from julius_tpu.utils.jlog import LogLevel, jlog, set_log_output
 
 
 def format_result(r: Result, sr_name: str = "_default",
@@ -44,6 +48,90 @@ def format_result(r: Result, sr_name: str = "_default",
     return "\n".join(lines)
 
 
+def result_block(eng, r: Result, separate_score: bool = False) -> str:
+    """Full per-utterance output block: N-best + alignments + lattice +
+    confusion network (the CALLBACK_RESULT payload of output_stdout.c)."""
+    parts = [format_result(r, separate_score=separate_score)]
+    if r.alignment is not None:
+        al = r.alignment
+        if eng.search_cfg.align_word:
+            parts.append("=== word alignment ===")
+            parts.extend(f"[{w['begin']:4d} {w['end']:4d}] {w['word']}"
+                         for w in al.words)
+        if eng.search_cfg.align_phoneme:
+            parts.append("=== phoneme alignment ===")
+            parts.extend(f"[{p['begin']:4d} {p['end']:4d}] {p['phone']}"
+                         for p in al.phones)
+        if eng.search_cfg.align_state:
+            parts.append("=== state alignment ===")
+            parts.extend(
+                f"[{s['begin']:4d} {s['end']:4d}] {s['phone']}.s{s['state']}"
+                for s in al.states)
+    if eng.search_cfg.graph_out and r.graph is not None:
+        from julius_tpu.search.graphout import graph_to_text
+        parts.append("--- begin wordgraph data ---")
+        parts.append(graph_to_text(r.graph, eng.voca.names).rstrip("\n"))
+        parts.append("--- end wordgraph data ---")
+    if eng.search_cfg.confnet_out and r.confnet is not None:
+        parts.append("--- begin confusion network ---")
+        for c in r.confnet:
+            parts.append(" ".join(
+                f"({eng.voca.names[w]}:{p:.3f})"
+                for w, p in zip(c.words, c.probs)))
+        parts.append("--- end confusion network ---")
+    return "\n".join(parts)
+
+
+class OutputSink:
+    """stdout writer with optional charset conversion (-charconv; reference
+    julius/charconv.c) plus optional per-input .out files (-outfile;
+    reference julius/output_file.c)."""
+
+    def __init__(self, charconv: Optional[tuple] = None,
+                 outfile: bool = False):
+        self.charconv = charconv
+        self.outfile = outfile
+        self._file = None
+
+    def open_for(self, input_path: str) -> None:
+        if self.outfile:
+            out = os.path.splitext(input_path)[0] + ".out"
+            self._file = open(out, "w", encoding=(
+                self.charconv[1] if self.charconv else "utf-8"),
+                errors="replace")
+
+    def close_input(self) -> None:
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+    def emit(self, text: str) -> None:
+        if self.charconv:
+            data = text.encode(self.charconv[1], errors="replace")
+            sys.stdout.flush()
+            sys.stdout.buffer.write(data + b"\n")
+            sys.stdout.buffer.flush()
+        else:
+            print(text)
+        if self._file is not None:
+            self._file.write(text + "\n")
+
+
+def record_utterance(record_dir: str, wave: np.ndarray, rate: int) -> str:
+    """-record: dump the decoded segment as a timestamped wav (reference
+    julius/record.c naming YYYY.MMDD.HHMMSS.wav + uniquifier)."""
+    from julius_tpu.io.wav import write_wav
+    os.makedirs(record_dir, exist_ok=True)
+    stamp = time.strftime("%Y.%m%d.%H%M%S")
+    path = os.path.join(record_dir, stamp + ".wav")
+    k = 0
+    while os.path.exists(path):
+        k += 1
+        path = os.path.join(record_dir, f"{stamp}.{k}.wav")
+    write_wav(path, wave.astype(np.int16), rate)
+    return path
+
+
 def collect_inputs(cfg, extra: List[str]) -> List[str]:
     files = [a for a in extra if not a.startswith("-")]
     if cfg.filelist_path:
@@ -64,7 +152,9 @@ def main(argv=None):
                      "-enormal", "-noenormal", "-rawe", "-norawe",
                      "-zmeanframe", "-nozmeanframe", "-usepower", "-iwsp",
                      "-cutsilence", "-nocutsilence", "-quiet", "-debug",
-                     "-outfile", "-module", "-force_ccd", "-no_ccd"}
+                     "-outfile", "-module", "-force_ccd", "-no_ccd",
+                     "-separatescore", "-progout", "-nolog", "-demo",
+                     "-nocharconv"}
     while i < len(argv):
         a = argv[i]
         if a.startswith("-"):
@@ -72,7 +162,7 @@ def main(argv=None):
             if a == "-SR":
                 opts.extend(argv[i + 1: i + 4])
                 i += 3
-            elif a == "-lmp" or a == "-lmp2" or a == "-vtln":
+            elif a in ("-lmp", "-lmp2", "-vtln", "-charconv"):
                 k = 3 if a == "-vtln" else 2
                 opts.extend(argv[i + 1: i + 1 + k])
                 i += k
@@ -84,12 +174,27 @@ def main(argv=None):
         i += 1
 
     cfg = parse_jconf(opts)
+    log_fh = None
+    if cfg.logfile:
+        log_fh = open(cfg.logfile, "w", encoding="utf-8")
+        set_log_output(log_fh)
+    elif cfg.quiet:
+        from julius_tpu.utils.jlog import set_log_level
+        set_log_level(LogLevel.WARNING)
     engines = create_engines(cfg)
+    plugins = None
+    if cfg.plugin_dirs:
+        from julius_tpu.plugins import PluginManager
+        plugins = PluginManager()
+        for d in cfg.plugin_dirs:
+            plugins.load_dir(d)
+        plugins.startup(engines)
     files = collect_inputs(cfg, files)
     if not files:
         jlog(LogLevel.ERROR, "no input files (give paths or -filelist)")
         return 1
     outprob_out = getattr(cfg, "outprob_out", None)
+    sink = OutputSink(charconv=cfg.charconv, outfile=cfg.outfile)
 
     B = max(1, cfg.batch_size)
     mfc_mode = cfg.input_source in ("mfcfile", "htkparam")
@@ -104,16 +209,26 @@ def main(argv=None):
                              dtype=np.float32)
             lens = np.zeros(len(params), dtype=np.int32)
             for j, p in enumerate(params):
-                batch[j, : p.data.shape[0]] = p.data
-                lens[j] = p.data.shape[0]
+                d = p.data
+                if plugins is not None:
+                    d = plugins.fvin_postprocess(d)
+                batch[j, : d.shape[0]] = d
+                lens[j] = d.shape[0]
         else:
             waves = [read_audio(p) for p in chunk]
+            if plugins is not None:
+                waves = [plugins.adin_postprocess(w) for w in waves]
             L = max(len(w) for w in waves)
             batch = np.zeros((len(waves), L), dtype=np.float32)
             lens = np.zeros(len(waves), dtype=np.int32)
             for j, w in enumerate(waves):
                 batch[j, : len(w)] = w
                 lens[j] = len(w)
+            if cfg.record_dir:
+                for j, w in enumerate(waves):
+                    rate = engines[0].fe_cfg.sample_rate
+                    p = record_utterance(cfg.record_dir, w, rate)
+                    jlog(LogLevel.STAT, f"recorded to {p}")
         for eng in engines:
             if mfc_mode:
                 results = eng.decode_features(batch, lens)
@@ -135,38 +250,14 @@ def main(argv=None):
                         samp_period=100000, kind="USER"))
                     print(f"outprob written: {out}")
             for path, r in zip(chunk, results):
-                print(f"\ninput: {path}")
-                print(format_result(r))
-                if r.alignment is not None:
-                    al = r.alignment
-                    if eng.search_cfg.align_word:
-                        print("=== word alignment ===")
-                        for w in al.words:
-                            print(f"[{w['begin']:4d} {w['end']:4d}] "
-                                  f"{w['word']}")
-                    if eng.search_cfg.align_phoneme:
-                        print("=== phoneme alignment ===")
-                        for p in al.phones:
-                            print(f"[{p['begin']:4d} {p['end']:4d}] "
-                                  f"{p['phone']}")
-                    if eng.search_cfg.align_state:
-                        print("=== state alignment ===")
-                        for s in al.states:
-                            print(f"[{s['begin']:4d} {s['end']:4d}] "
-                                  f"{s['phone']}.s{s['state']}")
-                if eng.search_cfg.graph_out and r.graph is not None:
-                    from julius_tpu.search.graphout import graph_to_text
-                    print("--- begin wordgraph data ---")
-                    print(graph_to_text(r.graph, eng.voca.names), end="")
-                    print("--- end wordgraph data ---")
-                if eng.search_cfg.confnet_out and r.confnet is not None:
-                    print("--- begin confusion network ---")
-                    for c in r.confnet:
-                        alts = " ".join(
-                            f"({eng.voca.names[w]}:{p:.3f})"
-                            for w, p in zip(c.words, c.probs))
-                        print(alts)
-                    print("--- end confusion network ---")
+                sink.open_for(path)
+                sink.emit(f"\ninput: {path}")
+                sink.emit(result_block(eng, r,
+                                       separate_score=cfg.separatescore))
+                sink.close_input()
+    if log_fh is not None:
+        set_log_output(sys.stderr)
+        log_fh.close()
     return 0
 
 

@@ -101,3 +101,58 @@ def test_recognize_cli_end_to_end(model_dir, tmp_path, capsys):
     assert "sentence1: ab abc" in out       # dict outputs; sil words empty
     assert "wseq1: <s> AB ABC </s>" in out
     assert "score1:" in out
+
+
+def test_recognize_outputs_and_plugins(model_dir, tmp_path, capsys):
+    """-outfile/-separatescore/-logfile/-charconv/-plugindir round trip."""
+    hmm = parse_hmmdefs_text(make_hmmdefs_text(
+        phones=("a", "b", "c", "sil"), dim=4, n_states=3, n_mix=2))
+    voca = Vocabulary()
+    for line in make_dict_text().splitlines():
+        parse_dict_line(line, voca)
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    truth = ["<s>", "AB", "ABC", "</s>"]
+    rng = np.random.default_rng(0)
+    pids = [hmm.phone_index[p] for w in truth
+            for p in voca.phones[name2id[w]]]
+    frames, _ = sample_states_and_frames(hmm, pids, rng)
+    mfc = str(tmp_path / "utt2.mfc")
+    write_htk_param(mfc, HTKParam(data=frames, samp_period=100000,
+                                  kind="MFCC_E"))
+
+    pdir = tmp_path / "plugins"
+    pdir.mkdir()
+    marker = tmp_path / "plugin_got.txt"
+    (pdir / "recv.py").write_text(
+        "import pathlib\n"
+        f"OUT = pathlib.Path({str(marker)!r})\n"
+        "def initialize():\n    pass\n"
+        "def result_best_str(s):\n    OUT.write_text(s)\n"
+        "def fvin_postprocess(v):\n    return v\n")
+    log = tmp_path / "run.log"
+
+    rc = recognize.main([
+        "-C", str(model_dir / "run.jconf"), mfc,
+        "-outfile", "-separatescore", "-logfile", str(log),
+        "-charconv", "utf-8", "utf-8",
+        "-plugindir", str(pdir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sentence1: ab abc" in out
+    assert "(AM:" in out and "LM:" in out        # -separatescore
+    outfile = tmp_path / "utt2.out"
+    assert outfile.exists()                      # -outfile
+    assert "sentence1: ab abc" in outfile.read_text()
+    assert log.exists() and "instance" in log.read_text()   # -logfile
+    assert marker.read_text() == "ab abc"        # plugin result receiver
+
+
+def test_jconf_new_output_options():
+    cfg = parse_jconf(["-separatescore", "-progout", "-proginterval", "500",
+                       "-record", "/tmp/recdir", "-charconv", "utf-8",
+                       "sjis", "-quiet", "-plugindir", "a:b"])
+    assert cfg.separatescore and cfg.progout and cfg.quiet
+    assert cfg.proginterval_ms == 500
+    assert cfg.record_dir == "/tmp/recdir"
+    assert cfg.charconv == ("utf-8", "sjis")
+    assert cfg.plugin_dirs == ["a", "b"]
