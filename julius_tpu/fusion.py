@@ -125,17 +125,21 @@ def load_lm(lm: LMConfig):
 
 
 def load_multiple_grammars(prefixes: List[str]):
-    """Merge several grammars into one global DFA + dictionary
-    (reference multigram_build gramlist.c/multi-gram.c:174: category ids
-    and DFA states are offset per grammar and the automata run in
-    parallel as one big DFA with multiple initial/accept states)."""
-    from julius_tpu.io.htk_dict import load_htkdict
+    """Merge several grammar files into one global DFA + dictionary."""
+    return merge_grammars([load_grammar(p) for p in prefixes])
 
+
+def merge_grammars(grams):
+    """Merge (dfa, voca, word_cat) triples into one global DFA +
+    dictionary (reference multigram_build gramlist.c/multi-gram.c:174:
+    category ids and DFA states are offset per grammar and the automata
+    run in parallel as one big DFA with multiple initial/accept
+    states).  Also the engine of runtime grammar switching over the
+    module protocol (ADDGRAM/DELGRAM/(DE)ACTIVATEGRAM)."""
     gdfa = DFAGrammar()
     voca = Vocabulary()
     cats: List[int] = []
-    for prefix in prefixes:
-        dfa, v, wc = load_grammar(prefix)
+    for dfa, v, wc in grams:
         soff = gdfa.n_states
         coff = gdfa.n_terms
         gdfa.n_states += dfa.n_states

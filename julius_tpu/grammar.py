@@ -213,7 +213,15 @@ def nfa_to_dfa(nfa: _NFA, start: int, accept: int) -> DFAGrammar:
                 work.append(tgt)
             arcs[cid].append((t, states[tgt]))
 
-    # Hopcroft-style partition refinement
+    return _minimize(arcs, acc)
+
+
+def _minimize(arcs: List[List[Tuple[int, int]]],
+              acc: List[bool]) -> DFAGrammar:
+    """Partition-refinement (Hopcroft-style) minimisation of a
+    deterministic automaton whose initial state is 0 (reference
+    gramtools/dfa_minimize).  Returns a DFAGrammar with state 0
+    initial."""
     n = len(arcs)
     part = [0 if a else 1 for a in acc]
     while True:
@@ -257,6 +265,55 @@ def nfa_to_dfa(nfa: _NFA, start: int, accept: int) -> DFAGrammar:
     dfa.n_terms = max_term + 1
     dfa.term_words = [[] for _ in range(dfa.n_terms)]
     return dfa
+
+
+def determinize_dfa(dfa: DFAGrammar) -> DFAGrammar:
+    """Subset construction over a (possibly nondeterministic) category
+    automaton loaded from a .dfa file (reference
+    gramtools/dfa_determinize).  .dfa files carry no epsilon arcs, so
+    this is plain powerset determinisation."""
+    init = frozenset(s for s in range(dfa.n_states) if dfa.initial[s])
+    if not init:
+        init = frozenset({0})
+    states: Dict[FrozenSet[int], int] = {init: 0}
+    arcs: List[List[Tuple[int, int]]] = [[]]
+    acc: List[bool] = [any(dfa.accept[s] for s in init)]
+    work = [init]
+    while work:
+        cur = work.pop()
+        cid = states[cur]
+        by_term: Dict[int, Set[int]] = {}
+        for s in cur:
+            for (t, nxt) in dfa.arcs[s]:
+                by_term.setdefault(t, set()).add(nxt)
+        for t, nxts in sorted(by_term.items()):
+            tgt = frozenset(nxts)
+            if tgt not in states:
+                states[tgt] = len(arcs)
+                arcs.append([])
+                acc.append(any(dfa.accept[s] for s in tgt))
+                work.append(tgt)
+            arcs[cid].append((t, states[tgt]))
+    out = DFAGrammar()
+    out.n_states = len(arcs)
+    out.arcs = arcs
+    out.accept = acc
+    out.initial = [i == 0 for i in range(len(arcs))]
+    out.n_terms = dfa.n_terms
+    out.term_words = [list(w) for w in dfa.term_words] \
+        if dfa.term_words else [[] for _ in range(out.n_terms)]
+    return out
+
+
+def minimize_dfa(dfa: DFAGrammar) -> DFAGrammar:
+    """Determinize (if needed) then minimise a loaded automaton
+    (reference gramtools/dfa_minimize)."""
+    det = determinize_dfa(dfa)
+    out = _minimize(det.arcs, det.accept)
+    out.n_terms = max(out.n_terms, dfa.n_terms)
+    out.term_words = [list(w) for w in dfa.term_words] \
+        if dfa.term_words else [[] for _ in range(out.n_terms)]
+    return out
 
 
 def compile_grammar(grammar_text: str, voca_text: str):

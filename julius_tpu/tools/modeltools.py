@@ -161,6 +161,64 @@ def cmd_generate(args):
     return 0
 
 
+def cmd_dfa_minimize(args):
+    """dfa_minimize in.dfa [out.dfa] (reference gramtools/dfa_minimize)."""
+    from julius_tpu.grammar import minimize_dfa, write_dfa
+    from julius_tpu.io.dfa import load_dfa
+    src = args[0]
+    dst = args[1] if len(args) > 1 else None
+    dfa = load_dfa(src)
+    out = minimize_dfa(dfa)
+    write_dfa(out, dst if dst else sys.stdout)
+    print(f"{dfa.n_states} states -> {out.n_states} states",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_dfa_determinize(args):
+    """dfa_determinize in.dfa [out.dfa] (reference
+    gramtools/dfa_determinize)."""
+    from julius_tpu.grammar import determinize_dfa, write_dfa
+    from julius_tpu.io.dfa import load_dfa
+    src = args[0]
+    dst = args[1] if len(args) > 1 else None
+    dfa = load_dfa(src)
+    out = determinize_dfa(dfa)
+    write_dfa(out, dst if dst else sys.stdout)
+    print(f"{dfa.n_states} states -> {out.n_states} states",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_nextword(args):
+    """nextword prefix "w1 w2 ..." — possible following words
+    (reference gramtools/nextword; empty sentence lists first words)."""
+    from julius_tpu.grammar import next_categories
+    prefix = args[0]
+    dfa_rev, dfa_fwd, voca, word_cat = _load_fwd_grammar(prefix)
+    if dfa_fwd is None:
+        print("nextword needs the .dfa.forward file", file=sys.stderr)
+        return 1
+    out2cat = {voca.outputs[i]: int(word_cat[i])
+               for i in range(voca.n_words)}
+    cat_words = {}
+    for i in range(voca.n_words):
+        cat_words.setdefault(int(word_cat[i]), []).append(voca.outputs[i])
+    rc = 0
+    for sent in (args[1:] or [""]):
+        words = sent.split()
+        try:
+            cats = [out2cat[w] for w in words]
+        except KeyError as e:
+            print(f"{sent}: word {e} not in vocabulary")
+            rc = 1
+            continue
+        nxt = next_categories(dfa_fwd, cats)
+        cand = sorted(w for c in nxt for w in cat_words.get(c, []))
+        print(f"{sent or '(begin)'}: {' '.join(cand) if cand else '(none)'}")
+    return rc
+
+
 def cmd_mkss(args):
     """mkss: estimate a noise spectrum from a silence recording."""
     import numpy as np
@@ -186,6 +244,9 @@ COMMANDS = {
     "generate-ngram": cmd_generate_ngram,
     "accept-check": cmd_accept_check,
     "generate": cmd_generate,
+    "dfa-minimize": cmd_dfa_minimize,
+    "dfa-determinize": cmd_dfa_determinize,
+    "nextword": cmd_nextword,
 }
 
 

@@ -41,13 +41,22 @@ def serve(engines, module_port=MODULE_PORT, adin_port=ADINNET_PORT,
     mod_thread.start()
 
     adin.accept()
-    session = StreamSession(engines[0], use_vad=use_vad)
+
+    def cur_engine():
+        return mod.engines[min(mod.current, len(mod.engines) - 1)]
+
+    session = StreamSession(cur_engine(), use_vad=use_vad)
     n_seg = 0
     for kind, payload in adin.events():
         if not mod.alive:
             break
+        # live process/grammar switching (CURRENTPROCESS / CHANGEGRAM
+        # replace the engine object; pick it up at the next event)
+        if session.engine is not cur_engine() and not session._in_segment:
+            session = StreamSession(cur_engine(), use_vad=use_vad)
         if kind == "samples":
-            if mod.active:
+            if mod.active and mod.process_active[
+                    min(mod.current, len(mod.process_active) - 1)]:
                 for r in session.feed(payload):
                     mod.send_result(r)
                     n_seg += 1
@@ -55,7 +64,7 @@ def serve(engines, module_port=MODULE_PORT, adin_port=ADINNET_PORT,
             for r in session.close():
                 mod.send_result(r)
                 n_seg += 1
-            session = StreamSession(engines[0], use_vad=use_vad)
+            session = StreamSession(cur_engine(), use_vad=use_vad)
         elif kind == "eos":
             for r in session.close():
                 mod.send_result(r)

@@ -124,3 +124,58 @@ def test_mkdfa_files_decode(tmp_path):
                             jnp.asarray([frames.shape[0]]))[0]
     assert r.valid
     assert r.texts == truth, r.texts
+
+
+def test_determinize_and_minimize_preserve_language(tmp_path):
+    """dfa_determinize / dfa_minimize keep acceptance over random
+    sequences and minimize never grows the automaton."""
+    import itertools
+    import random
+
+    dfa_rev, dfa_fwd, voca, word_cat, cats = G.compile_grammar(GRAMMAR, VOCA)
+    # build a nondeterministic variant: duplicate a state by adding a
+    # parallel arc path (simulates mkfa output before minimisation)
+    nfa = G.determinize_dfa(dfa_fwd)   # determinize of DFA = same language
+    mini = G.minimize_dfa(dfa_fwd)
+    assert mini.n_states <= dfa_fwd.n_states
+    ncat = len(cats)
+    seqs = [list(s) for n in range(1, 5)
+            for s in itertools.product(range(ncat), repeat=n)]
+    random.Random(0).shuffle(seqs)
+    for s in seqs[:300]:
+        want = G.accept_check(dfa_fwd, s)
+        assert G.accept_check(nfa, s) == want
+        assert G.accept_check(mini, s) == want
+
+
+def test_modeltools_dfa_cli(tmp_path, capsys):
+    from julius_tpu.tools import modeltools as mt
+
+    dfa_rev, dfa_fwd, voca, word_cat, cats = G.compile_grammar(GRAMMAR, VOCA)
+    src = tmp_path / "g.dfa"
+    G.write_dfa(dfa_fwd, str(src))
+    dst = tmp_path / "g.min.dfa"
+    rc = mt.main(["dfa-minimize", str(src), str(dst)])
+    assert rc == 0 and dst.exists()
+    from julius_tpu.io.dfa import load_dfa
+    out = load_dfa(str(dst))
+    assert out.n_states <= dfa_fwd.n_states
+    rc = mt.main(["dfa-determinize", str(src), str(tmp_path / "g.det.dfa")])
+    assert rc == 0
+
+
+def test_modeltools_nextword_cli(tmp_path, capsys):
+    from julius_tpu.tools import modeltools as mt
+
+    prefix = str(tmp_path / "cmdgram")
+    (tmp_path / "cmdgram.grammar").write_text(GRAMMAR)
+    (tmp_path / "cmdgram.voca").write_text(VOCA)
+    G.mkdfa(prefix)
+    rc = mt.main(["nextword", prefix, "", "silb", "silb go"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.strip()]
+    assert lines[0].startswith("(begin): silb")
+    assert "go" in lines[1] and "stop" in lines[1]
+    # after "silb go": either object nouns or the end silence
+    assert "left" in lines[2] and "sile" in lines[2]

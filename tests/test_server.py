@@ -151,3 +151,75 @@ def test_serve_end_to_end(engine):
     cli.close()
     t.join(timeout=10)
     ctl.close()
+
+
+@pytest.fixture(scope="module")
+def grammar_engine():
+    from julius_tpu.io.dfa import parse_dfa
+    from fixtures import make_dfa_text
+    hmm = parse_hmmdefs_text(make_hmmdefs_text(
+        phones=("a", "b", "sil"), dim=4, n_states=3, n_mix=2))
+    dfa = parse_dfa(io.StringIO(make_dfa_text()))
+    voca = Vocabulary()
+    for line in ["0\t[ab]\ta b", "1\t[ba]\tb a"]:
+        parse_dict_line(line, voca)
+    word_cat = np.asarray([0, 1], dtype=np.int32)
+    return Engine(hmm, voca, dfa=dfa, word_cat=word_cat,
+                  search=SearchConfig())
+
+
+def test_module_grammar_and_process_commands(grammar_engine, tmp_path):
+    """ADDGRAM/GRAMINFO/(DE)ACTIVATEGRAM/ADDWORD/SYNCGRAM + process cmds."""
+    from fixtures import make_dfa_text
+    srv = ModuleServer([grammar_engine], port=0)
+    t = threading.Thread(target=lambda: (srv.accept(), srv.serve_forever()),
+                         daemon=True)
+    t.start()
+    sock = socket.create_connection(("127.0.0.1", srv.port))
+    f = sock.makefile("rb")
+
+    # startup grammar registered as gid 0
+    sock.sendall(b"GRAMINFO\n")
+    info = read_msg(f)
+    assert "#0:" in info and "[active]" in info
+
+    # ADDGRAM with in-band dfa+dict body
+    body = make_dfa_text() + "0\t[aa]\ta a\n1\t[bb]\tb b\nDICEND\n"
+    sock.sendall(("ADDGRAM g2\n" + body).encode())
+    msg = read_msg(f)
+    assert 'STATUS="RECEIVED"' in msg and 'ID="1"' in msg
+    # merged grammar now backs the engine: 4 words
+    assert srv.engines[0].voca.n_words == 4
+
+    # deactivate the new grammar -> back to 2 words
+    sock.sendall(b"DEACTIVATEGRAM 1\n")
+    assert 'READY' in read_msg(f)
+    assert srv.engines[0].voca.n_words == 2
+    sock.sendall(b"ACTIVATEGRAM 1\n")
+    assert 'READY' in read_msg(f)
+    assert srv.engines[0].voca.n_words == 4
+
+    # ADDWORD to grammar 0
+    sock.sendall(b"ADDWORD 0\n0\t[abab]\ta b a b\nDICEND\n")
+    msg = read_msg(f)
+    assert 'WORDADDED' in msg and 'NUM="1"' in msg
+    assert srv.engines[0].voca.n_words == 5
+
+    # DELGRAM the added grammar
+    sock.sendall(b"DELGRAM 1\n")
+    assert 'READY' in read_msg(f)
+    assert srv.engines[0].voca.n_words == 3
+
+    # process management
+    sock.sendall(b"LISTPROCESS\n")
+    assert 'STATUS="ACTIVE"' in read_msg(f)
+    sock.sendall(b"DEACTIVATEPROCESS _default\n")
+    assert 'OK' in read_msg(f)
+    assert srv.process_active == [False]
+    sock.sendall(b"ACTIVATEPROCESS _default\n")
+    assert 'OK' in read_msg(f)
+    sock.sendall(b"CURRENTPROCESS 0\n")
+    assert 'ID="0"' in read_msg(f)
+    sock.sendall(b"DIE\n")
+    t.join(timeout=5)
+    sock.close()
