@@ -22,7 +22,8 @@ from julius_tpu.engine import Result
 from julius_tpu.fusion import create_engines
 from julius_tpu.io.wav import read_audio
 from julius_tpu.jconf import parse_jconf
-from julius_tpu.utils.jlog import LogLevel, jlog, set_log_output
+from julius_tpu.utils.jlog import (DEFAULT as LOG_DEFAULT, LogLevel, jlog,
+                                   set_log_output)
 
 
 def format_result(r: Result, sr_name: str = "_default",
@@ -256,7 +257,7 @@ def main(argv=None):
                                        separate_score=cfg.separatescore))
                 sink.close_input()
     if log_fh is not None:
-        set_log_output(sys.stderr)
+        set_log_output(LOG_DEFAULT)
         log_fh.close()
     return 0
 

@@ -16,12 +16,17 @@ class LogLevel(enum.IntEnum):
     ERROR = 2
 
 
-_out: Optional[TextIO] = sys.stderr
+#: sentinel: resolve sys.stderr at call time (so redirected/captured
+#: stderr streams are never retained after they close)
+DEFAULT = object()
+
+_out = DEFAULT
 _min_level = LogLevel.STAT
 
 
 def set_log_output(stream: Optional[TextIO]) -> None:
-    """Redirect log output; None silences logging (reference jlog_set_output)."""
+    """Redirect log output; None silences logging; jlog.DEFAULT restores
+    the stderr default (reference jlog_set_output)."""
     global _out
     _out = stream
 
@@ -34,5 +39,9 @@ def set_log_level(level: LogLevel) -> None:
 def jlog(level: LogLevel, fmt: str, *args) -> None:
     if _out is None or level < _min_level:
         return
+    stream = sys.stderr if _out is DEFAULT else _out
     msg = fmt % args if args else fmt
-    print(f"{level.name}: {msg}", file=_out)
+    try:
+        print(f"{level.name}: {msg}", file=stream)
+    except ValueError:
+        pass    # redirected stream was closed by the host application

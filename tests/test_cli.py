@@ -156,3 +156,35 @@ def test_jconf_new_output_options():
     assert cfg.record_dir == "/tmp/recdir"
     assert cfg.charconv == ("utf-8", "sjis")
     assert cfg.plugin_dirs == ["a", "b"]
+
+
+def test_visualize_cli(model_dir, tmp_path):
+    """tools.visualize renders SVG + text dumps of the pass-1 trellis."""
+    from julius_tpu.tools import visualize
+
+    hmm = parse_hmmdefs_text(make_hmmdefs_text(
+        phones=("a", "b", "c", "sil"), dim=4, n_states=3, n_mix=2))
+    voca = Vocabulary()
+    for line in make_dict_text().splitlines():
+        parse_dict_line(line, voca)
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    rng = np.random.default_rng(1)
+    pids = [hmm.phone_index[p] for w in ["<s>", "AB", "</s>"]
+            for p in voca.phones[name2id[w]]]
+    frames, _ = sample_states_and_frames(hmm, pids, rng)
+    mfc = str(tmp_path / "viz.mfc")
+    write_htk_param(mfc, HTKParam(data=frames, samp_period=100000,
+                                  kind="MFCC_E"))
+    svg_out = str(tmp_path / "viz.svg")
+    rc = visualize.main(["-C", str(model_dir / "run.jconf"),
+                         "-o", svg_out, mfc])
+    assert rc == 0
+    svg = open(svg_out).read()
+    assert svg.startswith("<svg") and "steelblue" in svg
+    assert "stroke='red'" in svg          # best path highlighted
+    txt_out = str(tmp_path / "viz.txt")
+    rc = visualize.main(["-C", str(model_dir / "run.jconf"),
+                         "-o", txt_out, "-text", mfc])
+    assert rc == 0
+    txt = open(txt_out).read()
+    assert "# trellis:" in txt and "*" in txt
