@@ -35,6 +35,10 @@ from julius_tpu.config import FrontendConfig
 from julius_tpu.models.hmm import HMMSet
 from julius_tpu.utils.logadd import LOG_ZERO
 
+# the reference's own LOG_ZERO (stddefs.h:171), used *inside* binhmm
+# files for absent transitions/mixture weights
+REF_LOG_ZERO = -1000000.0
+
 MAXSTREAMNUM = 50
 VALUE_VERSION = 3
 
@@ -245,9 +249,11 @@ def read_binhmm(path: str) -> Tuple[HMMSet, Optional[FrontendConfig]]:
             ids, w = mpdfs[mid]
         else:
             ids, w = read_pdf_sub()
-        mixes = [(int(g), float(np.log(max(wi, 1e-30))))
+        # stored weights are natural-log bweight values
+        # (rdhmmdef_mpdf.c:189); LOG_ZERO marks an absent mixture
+        mixes = [(int(g), float(wi))
                  for g, wi in zip(ids, w)
-                 if g < n_dens and wi > 0.0]
+                 if g < n_dens and wi > -5.0e5]
         st_mix.append(mixes)
     # models
     n_model = r.u32()
@@ -259,9 +265,11 @@ def read_binhmm(path: str) -> Tuple[HMMSet, Optional[FrontendConfig]]:
         sids = r.u32arr(sn)
         tid = r.u32()
         emitting = [int(s) for s in sids if s < n_state]
-        a = tr[tid].astype(np.float64)
-        with np.errstate(divide="ignore"):
-            ln = np.where(a > 0, np.log(a), LOG_ZERO).astype(np.float32)
+        # stored transitions are log10 (rdhmmdef_trans.c:151 domain,
+        # LOG_ZERO = -1000000 for prob 0); convert to our natural log
+        a10 = tr[tid].astype(np.float64)
+        ln = np.where(a10 > -5.0e5, a10 * np.log(10.0),
+                      LOG_ZERO).astype(np.float32)
         names.append(name)
         hmms.append((emitting, ln))
 
@@ -362,15 +370,19 @@ def write_binhmm(path: str, hmm: HMMSet,
     out += struct.pack(">hhhh", hmm.dim, 1, 0, ptype)  # cov=1(diag), dur=0
     # type
     out += struct.pack(">Bi", 0, hmm.max_mix)
-    # trans: one per phone
+    # trans: one per phone.  The reference stores the *in-memory* values
+    # (rdhmmdef_trans.c:151 converts probs to log10 with LOG_ZERO for
+    # zero at hmmdefs load; write_binhmm.c dumps them as-is), so convert
+    # our natural-log transitions to log10 and clamp to the reference's
+    # LOG_ZERO (-1000000, stddefs.h:171).
     P = hmm.n_phones
     out += struct.pack(">I", P)
     for p in range(P):
         ns = int(hmm.phone_ns[p]) + 2
-        a = np.exp(hmm.phone_trans[p][:ns, :ns].astype(np.float64))
-        a[a < 1e-20] = 0.0
+        ln = hmm.phone_trans[p][:ns, :ns].astype(np.float64)
+        a10 = np.where(ln > -5.0e5, ln / np.log(10.0), REF_LOG_ZERO)
         out += b"\x00" + struct.pack(">h", ns)
-        out += a.astype(">f4").tobytes()
+        out += a10.astype(">f4").tobytes()
     # var: one per gaussian (inversed)
     G = hmm.n_gauss
     out += struct.pack(">I", G)
@@ -389,11 +401,14 @@ def write_binhmm(path: str, hmm: HMMSet,
     for s in range(S):
         mixes = [(int(g), float(w)) for g, w in
                  zip(hmm.state_mix[s], hmm.state_lw[s]) if g >= 0]
+        # mixture weights are stored in natural log (the in-memory
+        # bweight domain, rdhmmdef_mpdf.c:189)
         out += b"\x00" + struct.pack(">h", len(mixes))
         for g, _ in mixes:
             out += struct.pack(">I", g)
         for _, w in mixes:
-            out += struct.pack(">f", float(np.exp(w)))
+            out += struct.pack(">f", float(w) if w > -5.0e5
+                               else REF_LOG_ZERO)
     # models
     out += struct.pack(">I", P)
     for p in range(P):
