@@ -474,10 +474,109 @@ def pass1_decode(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     return trellis
 
 
+#: override for the fused-kernel dispatch: None = auto (TPU only),
+#: True = force (uses the Pallas interpreter off-TPU; for tests),
+#: False = always use the XLA fallback.
+FUSE_PASS1: Optional[bool] = None
+
+
+def _fused_ok(dev: DeviceNetwork, cfg: Pass1Config) -> bool:
+    if FUSE_PASS1 is False:
+        return False
+    supported = (dev.local_k >= 0 and cfg.crossword and not cfg.use_dfa
+                 and not (cfg.use_lm and cfg.factoring >= 2)
+                 and cfg.beam_width == 0.0)
+    if FUSE_PASS1:
+        return supported
+    try:
+        return supported and jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _scalar_entry_batched(atoms: Trellis, t, M: int):
+    """Batched single-best corrected word-end (the factoring=1
+    cross-word winner; see _entry_scores): [B] scalars."""
+    valid = atoms.word >= 0
+    sc = jnp.where(valid, atoms.score, LOG_ZERO)
+    best = jnp.argmax(sc, axis=-1)                              # [B]
+    bsc = jnp.take_along_axis(sc, best[:, None], axis=-1)[:, 0]
+    bectx = jnp.take_along_axis(atoms.ectx, best[:, None], axis=-1)[:, 0]
+    bvalid = jnp.take_along_axis(valid, best[:, None], axis=-1)[:, 0]
+    ent = jnp.where(bvalid, bsc, LOG_ZERO)
+    ectx = jnp.where(bvalid, bectx, -1).astype(jnp.int32)
+    eprev = ((t - 1) * M + best).astype(jnp.int32)
+    return ent, ectx, eprev
+
+
+def _pass1_batch_fused(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
+                       cfg: Pass1Config, out_ext: jnp.ndarray,
+                       n_frames: jnp.ndarray):
+    """Batched decode with the fused Pallas beam-update kernel
+    (ops/pass1_kernel.py).  Result-identical to the vmap fallback for
+    the supported configuration (asserted by tests)."""
+    from julius_tpu.ops import pass1_kernel as pk
+
+    interp = jax.default_backend() != "tpu"
+    B, T, R = out_ext.shape
+    N = dev.score_idx.shape[0]
+    Np = -(-N // pk.TILE_N) * pk.TILE_N
+    pad = Np - N
+    M = cfg.n_atoms
+
+    loc = jnp.pad(dev.loc_lp, ((0, 0), (0, pad)), constant_values=LOG_ZERO)
+    sidx = jnp.pad(dev.score_idx, (0, pad))
+    ew = jnp.pad(dev.entry_word, (0, pad), constant_values=-1)
+    elp = jnp.pad(dev.entry_lp, (0, pad), constant_values=LOG_ZERO)
+    wq = jnp.maximum(ew, 0)
+    etot = jnp.where(ew >= 0, elp + dev.word_entry_lm[wq], LOG_ZERO)
+
+    # init = pass1_init on the padded node axis
+    enter = ew == dev.head_word
+    out0 = jnp.take(out_ext[:, 0], sidx, axis=-1)               # [B, Np]
+    score = jnp.where(enter[None, :],
+                      etot[None, :] + out0, LOG_ZERO)
+    ctx = jnp.full((B, Np), -1, jnp.int32)
+    prev = jnp.full((B, Np), -1, jnp.int32)
+
+    rows = jnp.moveaxis(
+        jnp.concatenate([out_ext[:, 1:], jnp.zeros_like(out_ext[:, :1])],
+                        axis=1), 1, 0)                          # [T, B, R]
+    ts = jnp.arange(1, T + 1, dtype=jnp.int32)
+
+    def step(carry, xs):
+        sc, cx, pv = carry
+        row, t = xs
+        frame_valid = t < n_frames                               # [B]
+        atoms = jax.vmap(
+            lambda s, c, p: _word_end_candidates(
+                dev, ngram, cfg, Pass1State(s, c, p, t - 1)))(sc, cx, pv)
+        ent_s, ectx_s, eprev_s = _scalar_entry_batched(atoms, t, M)
+        out_node = jnp.take(row, sidx, axis=-1)                  # [B, Np]
+        nsc, ncx, npv = pk.fused_step(
+            sc, cx, pv, loc, etot, out_node,
+            ent_s, ectx_s, eprev_s, frame_valid, interpret=interp)
+        atom_ok = ((t - 1) < n_frames)[:, None] & (atoms.word >= 0)
+        atoms = atoms._replace(
+            word=jnp.where(atom_ok, atoms.word, -1),
+            score=jnp.where(atom_ok, atoms.score, LOG_ZERO))
+        return (nsc, ncx, npv), atoms
+
+    _, trellis = jax.lax.scan(step, (score, ctx, prev), (rows, ts))
+    return jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 1), trellis)
+
+
 def pass1_batch(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
                 cfg: Pass1Config, out_ext: jnp.ndarray,
                 n_frames: jnp.ndarray):
-    """[B, T, R] batched decode -> Trellis of [B, T, M] arrays."""
+    """[B, T, R] batched decode -> Trellis of [B, T, M] arrays.
+
+    Dispatches to the fused Pallas kernel path on TPU for the default
+    configuration (local-arc network, N-gram factoring=1 / no LM, no
+    DFA, no score envelope); everything else uses the vmap'd reference
+    formulation."""
+    if _fused_ok(dev, cfg):
+        return _pass1_batch_fused(dev, ngram, cfg, out_ext, n_frames)
     return jax.vmap(partial(pass1_decode, dev, ngram, cfg))(
         out_ext, n_frames)
 
