@@ -159,6 +159,11 @@ class AMConfig:
     # 'topk' keeps only the k best Gaussians per mixture like gprune_beam.
     gprune: str = "none"
     gprune_num: int = 10
+    # Gaussian Mixture Selection (reference -gshmm/-gsnum, gms.c):
+    # monophone selector model; senones outside the per-frame top-gsnum
+    # GS states fall back to their GS state's score
+    gshmm_path: Optional[str] = None
+    gsnum: int = 24                 # reference default.c:141
     # inter-word context approximation for pseudo phone sets
     # (reference outprob_cd, libsent/src/phmm/outprob.c:287-420)
     iwcd_scheme: str = "best"       # best | max | avg

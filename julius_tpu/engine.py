@@ -77,6 +77,7 @@ class Engine:
         iwsp_penalty: float = -1.0,
         lm_forward: Optional[NGramLM] = None,
         use_cache: bool = False,
+        gshmm: Optional[HMMSet] = None,
     ):
         self.hmm = hmm
         self.voca = voca
@@ -166,12 +167,16 @@ class Engine:
         # acoustic scorer
         self.gmm_tables: Optional[GMMScorerTables] = None
         self.dnn_scorer: Optional[DNNScorer] = None
+        self.gms = None                   # ops.gms.GMSTables (-gshmm)
         self._setup_pseudo_arrays()
         if dnn is not None:
             self.dnn_scorer = build_dnn_scorer(dnn)
             self.dnn_params = dnn
         else:
             self.gmm_tables = build_gmm_tables(hmm, self.net.pseudo)
+            if gshmm is not None:
+                from julius_tpu.ops.gms import build_gms
+                self.gms = build_gms(hmm, gshmm, self.am_cfg.gsnum)
 
         self._decode_jit = jax.jit(self._decode_device)
 
@@ -226,9 +231,13 @@ class Engine:
                 rows = jnp.concatenate(
                     [rows, aggregate_pseudo(mem, seg, nq, rows)], axis=-1)
             return rows
-        return senone_scores(self.gmm_tables, feats,
-                             topk=(self.am_cfg.gprune_num
-                                   if self.am_cfg.gprune == "topk" else 0))
+        topk = (self.am_cfg.gprune_num
+                if self.am_cfg.gprune == "topk" else 0)
+        if self.gms is not None:
+            from julius_tpu.ops.gms import gms_senone_scores
+            return gms_senone_scores(self.gmm_tables, self.gms, feats,
+                                     topk=topk)
+        return senone_scores(self.gmm_tables, feats, topk=topk)
 
     def _features(self, wave: jnp.ndarray, lengths: jnp.ndarray):
         feats, mask = fe.extract_features(

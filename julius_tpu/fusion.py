@@ -70,7 +70,15 @@ def load_am(am: AMConfig):
             am.frontend = parse_feature_type(am.dnn.feature_type,
                                              am.frontend)
         dnn = load_dnn(am.dnn, getattr(am.dnn, "base_dir", "."))
-    return hmm, dnn
+    gshmm = None
+    if am.gshmm_path and dnn is None:
+        # GMS selector model (-gshmm; reference initialize_GSHMM
+        # m_fusion.c:183 — GMM scoring only)
+        if _is_binhmm(am.gshmm_path):
+            gshmm, _ = read_binhmm(am.gshmm_path)
+        else:
+            gshmm = load_hmmdefs(am.gshmm_path)
+    return hmm, dnn, gshmm
 
 
 def load_lm(lm: LMConfig):
@@ -169,14 +177,15 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
         lm_cfg = cfg.lm(sr.lm_name)
         if id(am_cfg) not in am_cache:
             am_cache[id(am_cfg)] = load_am(am_cfg)
-        hmm, dnn = am_cache[id(am_cfg)]
+        hmm, dnn, gshmm = am_cache[id(am_cfg)]
         if id(lm_cfg) not in lm_cache:
             lm_cache[id(lm_cfg)] = load_lm(lm_cfg)
         lmtype, voca, ngram, dfa, word_cat, lm_fwd = lm_cache[id(lm_cfg)]
         eng = Engine(hmm, voca, lm=ngram, dnn=dnn,
                      frontend=am_cfg.frontend, search=sr, am_cfg=am_cfg,
                      dfa=dfa, word_cat=word_cat, lmtype=lmtype,
-                     iwsp=lm_cfg.enable_iwsp, lm_forward=lm_fwd)
+                     iwsp=lm_cfg.enable_iwsp, lm_forward=lm_fwd,
+                     gshmm=gshmm)
         if am_cfg.ssload_path:
             from julius_tpu.io.ss import load_noise_spectrum
             eng.set_noise_spectrum(load_noise_spectrum(am_cfg.ssload_path))

@@ -127,6 +127,10 @@ class JconfParser:
                                     "default": "none"}.get(v, "none")
             elif o == "-tmix":
                 self.am().gprune_num = int(nxt())
+            elif o in ("-gshmm", "-hgs"):
+                self.am().gshmm_path = self.path(nxt())
+            elif o in ("-gsnum", "-booknum"):
+                self.am().gsnum = int(nxt())
             elif o == "-iwcd1":
                 v = nxt()
                 self.am().iwcd_scheme = {"max": "max", "avg": "avg",

@@ -141,45 +141,49 @@ def _local_step(snet: ShardedNetwork, ngram: Optional[DeviceNgram],
     t = t + 1
     M = cfg.n_atoms
 
-    # ---- word-end candidates: local top-k then global merge ----------
+    # ---- word-end candidates: exact 2-gram correction on ALL local
+    # exits (matching pass1.py _word_end_candidates), local top-M, then
+    # one all_gather + global re-rank (the frame's only collective) ----
     cand = score[snet.exit_nodes[0]] + snet.exit_nlp[0]       # [Ex]
-    k_loc = min(2 * M, cand.shape[0])
-    sc_l, ei_l = jax.lax.top_k(cand, k_loc)
-    w_l = snet.exit_w[0][ei_l]
-    node_l = snet.exit_nodes[0][ei_l]
-    ctx_l = ctx[node_l]
-    prev_l = prev[node_l]
-    # gather candidates from every shard (the frame's only collective)
+    w_all = snet.exit_w[0]
+    ctx_all = ctx[snet.exit_nodes[0]]
+    prev_all = prev[snet.exit_nodes[0]]
+    wq_all = jnp.maximum(w_all, 0)
+    if cfg.use_lm and ngram is not None:
+        w_lm = jnp.where(w_all >= 0, snet.wid2lm[wq_all], -1)
+        v_lm = jnp.where(ctx_all >= 0,
+                         snet.wid2lm[jnp.maximum(ctx_all, 0)], -1)
+        bi = bigram_score(ngram, v_lm, jnp.maximum(w_lm, 0))
+        uni = ngram.uni[jnp.maximum(w_lm, 0)]
+        delta = jnp.where(w_lm >= 0, cfg.lm_weight * (bi - uni), 0.0)
+        lm_all = jnp.where(w_lm >= 0,
+                           cfg.lm_weight * bi + cfg.lm_penalty,
+                           cfg.lm_penalty)
+    else:
+        delta = jnp.zeros_like(cand)
+        lm_all = jnp.full_like(cand, cfg.lm_penalty)
+    corr = jnp.where(cand > NEG_HALF, cand + delta, LOG_ZERO)
+    corr = jnp.where(w_all >= 0, corr, LOG_ZERO)      # pad lanes
+    k_loc = min(M, corr.shape[0])
+    sc_l, ei_l = jax.lax.top_k(corr, k_loc)
+    w_l = w_all[ei_l]
+    ctx_l = ctx_all[ei_l]
+    prev_l = prev_all[ei_l]
+    lm_l = lm_all[ei_l]
+    # gather per-shard top-M and re-rank globally
     sc_g = jax.lax.all_gather(sc_l, axis).reshape(-1)
     w_g = jax.lax.all_gather(w_l, axis).reshape(-1)
     ctx_g = jax.lax.all_gather(ctx_l, axis).reshape(-1)
     prev_g = jax.lax.all_gather(prev_l, axis).reshape(-1)
+    lm_g = jax.lax.all_gather(lm_l, axis).reshape(-1)
 
-    k2 = min(2 * M, sc_g.shape[0])
-    sc2, oi = jax.lax.top_k(sc_g, k2)
-    w2 = w_g[oi]
-    ctx2 = ctx_g[oi]
-    prev2 = prev_g[oi]
-    wq = jnp.maximum(w2, 0)
-    if cfg.use_lm and ngram is not None:
-        w_lm = snet.wid2lm[wq]
-        v_lm = jnp.where(ctx2 >= 0, snet.wid2lm[jnp.maximum(ctx2, 0)], -1)
-        bi = bigram_score(ngram, v_lm, jnp.maximum(w_lm, 0))
-        uni = ngram.uni[jnp.maximum(w_lm, 0)]
-        delta = jnp.where(w_lm >= 0, cfg.lm_weight * (bi - uni), 0.0)
-        lm_sc = jnp.where(w_lm >= 0,
-                          cfg.lm_weight * bi + cfg.lm_penalty,
-                          cfg.lm_penalty)
-    else:
-        delta = jnp.zeros_like(sc2)
-        lm_sc = jnp.full_like(sc2, cfg.lm_penalty)
-    corrected = jnp.where(sc2 > NEG_HALF, sc2 + delta, LOG_ZERO)
-    m_eff = min(M, corrected.shape[0])
-    csc, order = jax.lax.top_k(corrected, m_eff)
+    m_eff = min(M, sc_g.shape[0])
+    csc, order = jax.lax.top_k(sc_g, m_eff)
     take = lambda a: a[order]
-    prev_sel = take(prev2)
-    w_sel = take(w2)
-    ctx_sel = take(ctx2)
+    prev_sel = take(prev_g)
+    w_sel = take(w_g)
+    ctx_sel = take(ctx_g)
+    lm_sc = take(lm_g)
     ectx = jnp.where(snet.transparent[jnp.maximum(w_sel, 0)],
                      ctx_sel, w_sel)
     pad = M - m_eff
@@ -187,7 +191,7 @@ def _local_step(snet: ShardedNetwork, ngram: Optional[DeviceNgram],
         word=jnp.pad(jnp.where(csc > NEG_HALF, w_sel, -1), (0, pad),
                      constant_values=-1),
         score=jnp.pad(csc, (0, pad), constant_values=LOG_ZERO),
-        lm=jnp.pad(take(lm_sc), (0, pad)),
+        lm=jnp.pad(lm_sc, (0, pad)),
         prev=jnp.pad(prev_sel, (0, pad), constant_values=-1),
         begin=jnp.pad(jnp.where(prev_sel >= 0, prev_sel // M + 1, 0),
                       (0, pad)),

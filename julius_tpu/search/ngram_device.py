@@ -149,6 +149,9 @@ def hash_lookup(table_keys: jnp.ndarray, table_vals: jnp.ndarray,
     mask = jnp.uint32(H - 1)
     slot = _hash_u32(query) & mask
     idx = (slot[..., None] + jnp.arange(MAX_PROBES, dtype=jnp.uint32)) & mask
+    # int32 gather indices: TPU gather lowering is only exercised with
+    # signed index types (H < 2^31 always holds — table sizes are 2^k)
+    idx = idx.astype(jnp.int32)
     keys = table_keys[idx]                      # [..., P]
     hit = keys == query[..., None]
     found = jnp.any(hit, axis=-1)

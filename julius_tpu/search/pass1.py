@@ -72,6 +72,12 @@ class DeviceNetwork:
     exit_nodes: jnp.ndarray   # [Ex] node ids
     exit_w: jnp.ndarray       # [Ex] vocab word id
     exit_nlp: jnp.ndarray     # [Ex] exit ln p
+    # static per-exit lookups folded at build time so the per-frame
+    # word-end correction needs no small dynamic gathers (TPU lowers
+    # those to serial scalar loops — measured ~0.13 ms each)
+    exit_wlm: jnp.ndarray     # [Ex] LM word id of exit_w (-1 none)
+    exit_uni: jnp.ndarray     # [Ex] log10 unigram of exit_w (0 if none)
+    exit_transp: jnp.ndarray  # [Ex] bool: exit word is transparent
     word_entry_lm: jnp.ndarray  # [V] lm_weight*log10 uni + penalty at entry
     wid2lm: jnp.ndarray       # [V] vocab word -> LM word id (-1 if no LM)
     transparent: jnp.ndarray  # [V] bool: word passes LM context through
@@ -89,6 +95,7 @@ jax.tree_util.register_dataclass(
     data_fields=["score_idx", "in_src", "in_lp", "loc_lp",
                  "entry_word", "entry_lp",
                  "exit_word", "exit_lp", "exit_nodes", "exit_w", "exit_nlp",
+                 "exit_wlm", "exit_uni", "exit_transp",
                  "word_entry_lm", "wid2lm", "transparent",
                  "word_cat", "cpair", "cat_init", "cat_final"],
     meta_fields=["head_word", "tail_word", "local_k"],
@@ -126,6 +133,16 @@ def build_device_network(
         wid2lm = np.full(V, -1, dtype=np.int32)
         entry = pen.astype(np.float32)
     exit_nodes = np.flatnonzero(net.exit_word >= 0).astype(np.int32)
+    exit_w_np = net.exit_word[exit_nodes]
+    exit_wlm = np.asarray(wid2lm, dtype=np.int32)[exit_w_np]
+    if ngram is not None:
+        uni_np = np.asarray(ngram.uni)
+        exit_uni = np.where(exit_wlm >= 0,
+                            uni_np[np.maximum(exit_wlm, 0)],
+                            0.0).astype(np.float32)
+    else:
+        exit_uni = np.zeros(len(exit_nodes), dtype=np.float32)
+    exit_transp = np.asarray(transparent, dtype=bool)[exit_w_np]
 
     # shift-structured transition tables (fast path): valid when every
     # arc has 0 <= dst - src <= MAX_LOCAL_K
@@ -152,8 +169,11 @@ def build_device_network(
         exit_word=jnp.asarray(net.exit_word),
         exit_lp=jnp.asarray(net.exit_lp),
         exit_nodes=jnp.asarray(exit_nodes),
-        exit_w=jnp.asarray(net.exit_word[exit_nodes]),
+        exit_w=jnp.asarray(exit_w_np),
         exit_nlp=jnp.asarray(net.exit_lp[exit_nodes]),
+        exit_wlm=jnp.asarray(exit_wlm),
+        exit_uni=jnp.asarray(exit_uni),
+        exit_transp=jnp.asarray(exit_transp),
         word_entry_lm=jnp.asarray(entry, dtype=jnp.float32),
         wid2lm=jnp.asarray(wid2lm, dtype=jnp.int32),
         transparent=jnp.asarray(transparent, dtype=bool),
@@ -216,34 +236,29 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
                          cfg: Pass1Config, state: Pass1State):
     """Corrected word-end records from the current node scores.
 
-    Approximate scores (entry-applied unigram) are ranked first; the top
-    2M candidates get the exact 2-gram correction (cheap: a handful of
-    hash probes), then are re-ranked — mirroring the reference's swap of
-    factored scores for true 2-grams at word ends (beam.c
-    beam_inter_word)."""
+    EVERY exit candidate gets the exact 2-gram correction (the swap of
+    the entry-factored unigram for the true 2-gram that the reference
+    performs per word-end token, beam.c beam_inter_word) — one batched
+    hash probe over the [Ex] axis, which the TPU runs as a single
+    vectorised gather.  The top M corrected candidates become the
+    frame's trellis atoms.  Payload fields are selected with a one-hot
+    matmul: TPU lowers small dynamic gathers to serial scalar loops
+    (~0.13 ms each), while the MXU selection is exact (one-hot of 1.0s,
+    field values < 2^24) and runs in microseconds."""
     M = cfg.n_atoms
-    cand = state.score[dev.exit_nodes] + dev.exit_nlp        # [Ex]
-    k = min(2 * M, cand.shape[0])
-    if cand.shape[0] > 4 * k:
-        # TPU-optimised approximate top-k for the big reduction; the
-        # exact re-rank below fixes the order of what it returns
-        sc, eidx = jax.lax.approx_max_k(cand, k, recall_target=0.99)
-    else:
-        sc, eidx = jax.lax.top_k(cand, k)
-    idx = dev.exit_nodes[eidx]
-    w = dev.exit_w[eidx]
-    wq = jnp.maximum(w, 0)
-    ctx = state.ctx[idx]
+    sc = state.score[dev.exit_nodes] + dev.exit_nlp          # [Ex]
+    ctx = state.ctx[dev.exit_nodes]                          # [Ex]
+    prev = state.prev[dev.exit_nodes]                        # [Ex]
+    w = dev.exit_w
     if cfg.use_lm and ngram is not None:
-        w_lm = dev.wid2lm[wq]
+        w_lm = dev.exit_wlm
         v_lm = jnp.where(ctx >= 0, dev.wid2lm[jnp.maximum(ctx, 0)], -1)
         bi = bigram_score(ngram, v_lm, jnp.maximum(w_lm, 0))
-        uni = ngram.uni[jnp.maximum(w_lm, 0)]
         if cfg.factoring >= 2:
             # entry already applied the exact 2-gram; no swap needed
             delta = jnp.zeros_like(sc)
         else:
-            delta = cfg.lm_weight * (bi - uni)
+            delta = cfg.lm_weight * (bi - dev.exit_uni)
             delta = jnp.where(w_lm >= 0, delta, 0.0)
         lm_sc = jnp.where(
             w_lm >= 0,
@@ -252,21 +267,31 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
         delta = jnp.zeros_like(sc)
         lm_sc = jnp.full_like(sc, cfg.lm_penalty)
     corrected = jnp.where(sc > NEG_HALF, sc + delta, LOG_ZERO)
-    # re-rank corrected candidates, keep top M (pad when the network has
-    # fewer exit candidates than trellis capacity)
-    m_eff = min(M, corrected.shape[0])
-    csc, order = jax.lax.top_k(corrected, m_eff)
-    take = lambda a: a[order]
-    prev_sel = take(state.prev[idx])
-    w_sel = take(w)
+    Ex = corrected.shape[0]
+    m_eff = min(M, Ex)
+    if Ex > 8 * m_eff:
+        csc, sel = jax.lax.approx_max_k(corrected, m_eff,
+                                        recall_target=0.99)
+    else:
+        csc, sel = jax.lax.top_k(corrected, m_eff)
     # transparent words pass their inherited LM context onward
-    ctx_sel = take(ctx)
-    ectx = jnp.where(dev.transparent[jnp.maximum(w_sel, 0)],
-                     ctx_sel, w_sel)
+    ectx_all = jnp.where(dev.exit_transp, ctx, w)
+    rec = jnp.stack([lm_sc,
+                     prev.astype(jnp.float32),
+                     ectx_all.astype(jnp.float32),
+                     w.astype(jnp.float32)], axis=-1)        # [Ex, 4]
+    onehot = (sel[:, None] ==
+              jnp.arange(Ex, dtype=sel.dtype)[None, :])      # [m, Ex]
+    picked = jnp.matmul(onehot.astype(jnp.bfloat16), rec,
+                        preferred_element_type=jnp.float32)  # [m, 4]
+    lm_sel = picked[:, 0]
+    prev_sel = picked[:, 1].astype(jnp.int32)
+    ectx = picked[:, 2].astype(jnp.int32)
+    w_sel = picked[:, 3].astype(jnp.int32)
     atoms = Trellis(
         word=jnp.where(csc > NEG_HALF, w_sel, -1),
         score=csc,
-        lm=take(lm_sc),
+        lm=lm_sel,
         prev=prev_sel,
         begin=jnp.where(prev_sel >= 0, prev_sel // M + 1, 0),
         ectx=ectx,

@@ -235,8 +235,81 @@ def cmd_mkss(args):
     return 0
 
 
+def cmd_mkgshmm(args):
+    """monophone hmmdefs -> GMS selector model (reference
+    mkgshmm/mkgshmm.in: every state of every monophone becomes a named
+    ~s macro "<name><loc>m" so Julius can index GS states by name; the
+    model itself is unchanged).  Our loader reads either form — the
+    rewrite is for wire compatibility with the reference engine."""
+    import gzip
+    import re
+    src = args[0]
+    dst = args[1] if len(args) > 1 else None
+    op = gzip.open if src.endswith(".gz") else open
+    with op(src, "rt") as f:
+        lines = f.readlines()
+    out = []
+    # pass 1: emit global options, then every state as a ~s macro
+    name = None
+    in_state = False
+    stateloc = None
+    header_done = False
+    body = []
+    for ln in lines:
+        m = re.match(r'~h\s+"(.*)"', ln)
+        if m:
+            name = m.group(1)
+            header_done = True
+            continue
+        if not header_done:
+            out.append(ln)
+            continue
+        m = re.match(r"<STATE>\s+(\d+)", ln, re.I)
+        if m:
+            stateloc = m.group(1)
+            in_state = True
+            out.append(f'~s "{name}{stateloc}m"\n')
+            continue
+        if re.match(r"<TRANSP>", ln, re.I):
+            in_state = False
+        if in_state:
+            out.append(ln)
+    # pass 2: HMM definitions referencing the macros
+    header_done = False
+    in_state = False
+    for ln in lines:
+        m = re.match(r'~h\s+"(.*)"', ln)
+        if m:
+            name = m.group(1)
+            header_done = True
+            body.append(ln)
+            continue
+        if not header_done:
+            continue
+        m = re.match(r"<STATE>\s+(\d+)", ln, re.I)
+        if m:
+            stateloc = m.group(1)
+            in_state = True
+            body.append(ln)
+            body.append(f'~s "{name}{stateloc}m"\n')
+            continue
+        if re.match(r"<TRANSP>", ln, re.I):
+            in_state = False
+        if not in_state:
+            body.append(ln)
+    text = "".join(out) + "".join(body)
+    if dst:
+        with open(dst, "w") as f:
+            f.write(text)
+        print(f"wrote {dst}")
+    else:
+        sys.stdout.write(text)
+    return 0
+
+
 COMMANDS = {
     "mkss": cmd_mkss,
+    "mkgshmm": cmd_mkgshmm,
     "mkbingram": cmd_mkbingram,
     "binlm2arpa": cmd_binlm2arpa,
     "mkbinhmm": cmd_mkbinhmm,
