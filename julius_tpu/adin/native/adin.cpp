@@ -11,7 +11,13 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cstdio>
 #include <vector>
+
+#include <dlfcn.h>
+#include <fcntl.h>
+#include <sys/ioctl.h>
+#include <unistd.h>
 
 extern "C" {
 
@@ -220,6 +226,214 @@ int dec_feed(void *h, const float *s, int n, float *out) {
     }
   }
   return m;
+}
+
+// ---------------------------------------------------------------------
+// microphone capture (reference libsent/src/adin device drivers:
+// adin_mic_linux_alsa.c, adin_oss.c, adin_pulseaudio.c).  Sound
+// libraries are loaded with dlopen at runtime so the module builds and
+// runs on machines without audio stacks; cap_open reports the reason
+// when no backend is usable.  All backends deliver mono S16 at the
+// requested rate, converted to float32 (same scale as the file path).
+// ---------------------------------------------------------------------
+
+struct Capture {
+  int kind;           // 0 alsa, 1 pulse, 2 oss
+  void *lib;
+  void *pcm;          // alsa snd_pcm_t* / pulse pa_simple*
+  int fd;             // oss
+  // alsa fns
+  long (*a_readi)(void *, void *, unsigned long);
+  int (*a_recover)(void *, int, int);
+  int (*a_close)(void *);
+  // pulse fns
+  int (*p_read)(void *, void *, size_t, int *);
+  void (*p_free)(void *);
+};
+
+static void cap_err(char *err, int errlen, const char *msg) {
+  if (err && errlen > 0) {
+    std::snprintf(err, errlen, "%s", msg);
+  }
+}
+
+static void *cap_open_alsa(const char *device, int rate,
+                           char *err, int errlen) {
+  void *lib = dlopen("libasound.so.2", RTLD_NOW);
+  if (!lib) lib = dlopen("libasound.so", RTLD_NOW);
+  if (!lib) {
+    cap_err(err, errlen, "alsa: libasound not found");
+    return nullptr;
+  }
+  int (*open_)(void **, const char *, int, int) =
+      (int (*)(void **, const char *, int, int))dlsym(lib, "snd_pcm_open");
+  int (*set_params)(void *, int, int, unsigned, unsigned, int, unsigned) =
+      (int (*)(void *, int, int, unsigned, unsigned, int, unsigned))
+          dlsym(lib, "snd_pcm_set_params");
+  if (!open_ || !set_params) {
+    cap_err(err, errlen, "alsa: missing symbols");
+    dlclose(lib);
+    return nullptr;
+  }
+  void *pcm = nullptr;
+  // SND_PCM_STREAM_CAPTURE = 1
+  int rc = open_(&pcm, device && *device ? device : "default", 1, 0);
+  if (rc < 0) {
+    cap_err(err, errlen, "alsa: snd_pcm_open failed");
+    dlclose(lib);
+    return nullptr;
+  }
+  // S16_LE = 2, RW_INTERLEAVED = 3, 1ch, soft resample, 500 ms latency
+  rc = set_params(pcm, 2, 3, 1, (unsigned)rate, 1, 500000);
+  if (rc < 0) {
+    int (*close_)(void *) = (int (*)(void *))dlsym(lib, "snd_pcm_close");
+    if (close_) close_(pcm);
+    cap_err(err, errlen, "alsa: snd_pcm_set_params failed");
+    dlclose(lib);
+    return nullptr;
+  }
+  Capture *c = new Capture();
+  c->kind = 0;
+  c->lib = lib;
+  c->pcm = pcm;
+  c->fd = -1;
+  c->a_readi = (long (*)(void *, void *, unsigned long))
+      dlsym(lib, "snd_pcm_readi");
+  c->a_recover = (int (*)(void *, int, int))dlsym(lib, "snd_pcm_recover");
+  c->a_close = (int (*)(void *))dlsym(lib, "snd_pcm_close");
+  return c;
+}
+
+static void *cap_open_pulse(const char *device, int rate,
+                            char *err, int errlen) {
+  void *lib = dlopen("libpulse-simple.so.0", RTLD_NOW);
+  if (!lib) lib = dlopen("libpulse-simple.so", RTLD_NOW);
+  if (!lib) {
+    cap_err(err, errlen, "pulse: libpulse-simple not found");
+    return nullptr;
+  }
+  struct pa_sample_spec { int format; uint32_t rate; uint8_t channels; };
+  void *(*new_)(const char *, const char *, int, const char *,
+                const char *, const pa_sample_spec *, const void *,
+                const void *, int *) =
+      (void *(*)(const char *, const char *, int, const char *,
+                 const char *, const pa_sample_spec *, const void *,
+                 const void *, int *))dlsym(lib, "pa_simple_new");
+  if (!new_) {
+    cap_err(err, errlen, "pulse: missing symbols");
+    dlclose(lib);
+    return nullptr;
+  }
+  pa_sample_spec ss;
+  ss.format = 3;  // PA_SAMPLE_S16LE
+  ss.rate = (uint32_t)rate;
+  ss.channels = 1;
+  int e = 0;
+  // PA_STREAM_RECORD = 2
+  void *s = new_(nullptr, "julius_tpu", 2,
+                 device && *device ? device : nullptr,
+                 "record", &ss, nullptr, nullptr, &e);
+  if (!s) {
+    cap_err(err, errlen, "pulse: pa_simple_new failed");
+    dlclose(lib);
+    return nullptr;
+  }
+  Capture *c = new Capture();
+  c->kind = 1;
+  c->lib = lib;
+  c->pcm = s;
+  c->fd = -1;
+  c->p_read = (int (*)(void *, void *, size_t, int *))
+      dlsym(lib, "pa_simple_read");
+  c->p_free = (void (*)(void *))dlsym(lib, "pa_simple_free");
+  return c;
+}
+
+static void *cap_open_oss(const char *device, int rate,
+                          char *err, int errlen) {
+  const char *dev = device && *device ? device : "/dev/dsp";
+  int fd = open(dev, O_RDONLY);
+  if (fd < 0) {
+    cap_err(err, errlen, "oss: cannot open device");
+    return nullptr;
+  }
+  // ioctl numbers from <sys/soundcard.h> (hard-coded so the build has
+  // no header dependency): SETFMT 0xC0045005, CHANNELS 0xC0045006,
+  // SPEED 0xC0045002; AFMT_S16_LE = 0x10
+  int fmt = 0x10, ch = 1, sp = rate;
+  if (ioctl(fd, 0xC0045005, &fmt) < 0 || fmt != 0x10 ||
+      ioctl(fd, 0xC0045006, &ch) < 0 || ch != 1 ||
+      ioctl(fd, 0xC0045002, &sp) < 0 || sp != rate) {
+    close(fd);
+    cap_err(err, errlen, "oss: device configuration failed");
+    return nullptr;
+  }
+  Capture *c = new Capture();
+  c->kind = 2;
+  c->lib = nullptr;
+  c->pcm = nullptr;
+  c->fd = fd;
+  return c;
+}
+
+void *cap_open(const char *backend, const char *device, int rate,
+               char *err, int errlen) {
+  cap_err(err, errlen, "");
+  if (!backend || !std::strcmp(backend, "alsa"))
+    return cap_open_alsa(device, rate, err, errlen);
+  if (!std::strcmp(backend, "pulseaudio") || !std::strcmp(backend, "pulse"))
+    return cap_open_pulse(device, rate, err, errlen);
+  if (!std::strcmp(backend, "oss"))
+    return cap_open_oss(device, rate, err, errlen);
+  if (!std::strcmp(backend, "auto") || !std::strcmp(backend, "mic")) {
+    char e1[128], e2[128], e3[128];
+    void *c = cap_open_pulse(device, rate, e1, sizeof(e1));
+    if (c) return c;
+    c = cap_open_alsa(device, rate, e2, sizeof(e2));
+    if (c) return c;
+    c = cap_open_oss(device, rate, e3, sizeof(e3));
+    if (c) return c;
+    if (err && errlen > 0)
+      std::snprintf(err, errlen, "%s; %s; %s", e1, e2, e3);
+    return nullptr;
+  }
+  cap_err(err, errlen, "unknown capture backend");
+  return nullptr;
+}
+
+int cap_read(void *h, float *out, int max_samples) {
+  Capture *c = static_cast<Capture *>(h);
+  std::vector<int16_t> buf(max_samples);
+  long n = -1;
+  if (c->kind == 0) {
+    n = c->a_readi(c->pcm, buf.data(), (unsigned long)max_samples);
+    if (n < 0 && c->a_recover) {
+      if (c->a_recover(c->pcm, (int)n, 1) == 0)
+        n = c->a_readi(c->pcm, buf.data(), (unsigned long)max_samples);
+    }
+    if (n < 0) return -1;
+  } else if (c->kind == 1) {
+    int e = 0;
+    if (c->p_read(c->pcm, buf.data(),
+                  (size_t)max_samples * sizeof(int16_t), &e) < 0)
+      return -1;
+    n = max_samples;
+  } else {
+    long rd = read(c->fd, buf.data(), max_samples * sizeof(int16_t));
+    if (rd < 0) return -1;
+    n = rd / (long)sizeof(int16_t);
+  }
+  for (long i = 0; i < n; i++) out[i] = (float)buf[i];
+  return (int)n;
+}
+
+void cap_close(void *h) {
+  Capture *c = static_cast<Capture *>(h);
+  if (c->kind == 0 && c->a_close) c->a_close(c->pcm);
+  if (c->kind == 1 && c->p_free) c->p_free(c->pcm);
+  if (c->kind == 2 && c->fd >= 0) close(c->fd);
+  if (c->lib) dlclose(c->lib);
+  delete c;
 }
 
 }  // extern "C"

@@ -43,7 +43,7 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             tmp = so + f".tmp{os.getpid()}"
             subprocess.run(
                 ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
-                 _SRC, "-o", tmp],
+                 _SRC, "-o", tmp, "-ldl"],
                 check=True, capture_output=True)
             os.replace(tmp, so)
         lib = ctypes.CDLL(so)
@@ -67,6 +67,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int]
         lib.dec_feed.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_int, ctypes.c_void_p]
+        lib.cap_open.restype = ctypes.c_void_p
+        lib.cap_open.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                 ctypes.c_int, ctypes.c_char_p,
+                                 ctypes.c_int]
+        lib.cap_read.restype = ctypes.c_int
+        lib.cap_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                 ctypes.c_int]
+        lib.cap_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
     except Exception as e:  # no compiler / sandboxed build failure
         jlog(LogLevel.WARNING,
@@ -171,6 +179,78 @@ class NativeDecimator:
         n = self._lib.dec_feed(self._h, s.ctypes.data, len(s),
                                out.ctypes.data)
         return out[:n]
+
+
+class NativeCapture:
+    """Live microphone capture (reference adin_mic_linux_alsa.c /
+    adin_pulseaudio.c / adin_oss.c).  The sound libraries are dlopen'd
+    by the native layer at runtime; construction raises with the
+    backend's reason when no device is usable."""
+
+    def __init__(self, backend: str = "auto", device: str = "",
+                 rate: int = 16000):
+        lib = _build_lib()
+        if lib is None:
+            raise RuntimeError("native adin not available (no compiler)")
+        self._lib = lib
+        err = ctypes.create_string_buffer(512)
+        self._h = lib.cap_open(backend.encode(), device.encode(),
+                               rate, err, len(err))
+        if not self._h:
+            raise RuntimeError(
+                f"no capture device: {err.value.decode() or backend}")
+        self.rate = rate
+
+    def read(self, max_samples: int = 4000) -> Optional[np.ndarray]:
+        """Blocking read; None on device error / end of stream."""
+        out = np.zeros(max_samples, dtype=np.float32)
+        n = self._lib.cap_read(self._h, out.ctypes.data, max_samples)
+        if n < 0:
+            return None
+        return out[:n]
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.cap_close(self._h)
+            self._h = None
+
+    __del__ = close
+
+
+class FakeCapture:
+    """File-replay capture with the NativeCapture interface — lets the
+    whole mic pipeline (trigger, margins, streaming decode) run in
+    environments without audio hardware, and doubles as the test
+    harness for the -input mic path."""
+
+    def __init__(self, path: str, rate: int = 16000,
+                 chunk: int = 4000):
+        from julius_tpu.io.wav import read_audio
+        self._audio = np.asarray(read_audio(path), dtype=np.float32)
+        self._pos = 0
+        self._chunk = chunk
+        self.rate = rate
+
+    def read(self, max_samples: int = 4000) -> Optional[np.ndarray]:
+        if self._pos >= len(self._audio):
+            return None
+        n = min(max_samples, self._chunk, len(self._audio) - self._pos)
+        out = self._audio[self._pos: self._pos + n]
+        self._pos += n
+        return out
+
+    def close(self):
+        pass
+
+
+def make_capture(source: str = "auto", device: str = "",
+                 rate: int = 16000):
+    """Capture factory: 'mic'/'auto'/'alsa'/'pulseaudio'/'oss' open a
+    real device; 'fake:<wavfile>' replays a file through the same
+    interface."""
+    if source.startswith("fake:"):
+        return FakeCapture(source[5:], rate=rate)
+    return NativeCapture(source, device, rate)
 
 
 def make_speech_detector(cfg):

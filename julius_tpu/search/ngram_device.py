@@ -90,6 +90,11 @@ class DeviceNgram:
     bo_uni: jnp.ndarray      # [V] log10 back-off weight of (w)
     bi_keys: jnp.ndarray     # [H] uint32 packed v*V+w
     bi_vals: jnp.ndarray     # [H] f32 log10 P(w|v)
+    # key/value pairs as [H, 2] rows (col 0 = key bits, col 1 = value
+    # bits) so a probe is ONE row gather instead of two table gathers —
+    # TPU small-gather ops are latency-bound serial loops (~0.13 ms
+    # inside a scan step), so halving their count halves that cost
+    bi_rows: jnp.ndarray     # [H, 2] int32
     n_words: int
     bos_id: int
     eos_id: int
@@ -102,7 +107,7 @@ class DeviceNgram:
 
 jax.tree_util.register_dataclass(
     DeviceNgram,
-    data_fields=["uni", "bo_uni", "bi_keys", "bi_vals"],
+    data_fields=["uni", "bo_uni", "bi_keys", "bi_vals", "bi_rows"],
     meta_fields=["n_words", "bos_id", "eos_id", "unk_id"],
 )
 
@@ -126,11 +131,13 @@ def build_device_ngram(lm: NGramLM) -> DeviceNgram:
         keys = np.zeros(0, dtype=np.uint32)
         vals = np.zeros(0, dtype=np.float32)
     tk, tv, _ = _build_hash(keys, vals)
+    rows = np.stack([tk.view(np.int32), tv.view(np.int32)], axis=1)
     return DeviceNgram(
         uni=jnp.asarray(uni),
         bo_uni=jnp.asarray(bo),
         bi_keys=jnp.asarray(tk),
         bi_vals=jnp.asarray(tv),
+        bi_rows=jnp.asarray(rows),
         n_words=V,
         bos_id=lm.bos_id,
         eos_id=lm.eos_id,
@@ -157,6 +164,30 @@ def hash_lookup(table_keys: jnp.ndarray, table_vals: jnp.ndarray,
     found = jnp.any(hit, axis=-1)
     vals = jnp.where(hit, table_vals[idx], 0.0)
     return found, jnp.sum(vals, axis=-1)
+
+
+def bigram_score_fast(ng: DeviceNgram, v_lm: jnp.ndarray,
+                      v_bo: jnp.ndarray, w_lm: jnp.ndarray,
+                      uni_w: jnp.ndarray) -> jnp.ndarray:
+    """log10 P(w | v) when the caller already holds the per-query
+    unigram (`uni_w` = uni[w]) and context back-off (`v_bo` =
+    bo_uni[v]): the probe is ONE [.., P, 2] row gather with no other
+    table lookups (see DeviceNgram.bi_rows)."""
+    vq = jnp.maximum(v_lm, 0)
+    key = (vq.astype(jnp.uint32) * jnp.uint32(ng.n_words)
+           + jnp.maximum(w_lm, 0).astype(jnp.uint32))
+    H = ng.bi_keys.shape[0]
+    slot = _hash_u32(key) & jnp.uint32(H - 1)
+    idx = ((slot[..., None] + jnp.arange(MAX_PROBES, dtype=jnp.uint32))
+           & jnp.uint32(H - 1)).astype(jnp.int32)
+    rows = ng.bi_rows[idx]                      # [..., P, 2]
+    keys = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
+    vals = jax.lax.bitcast_convert_type(rows[..., 1], jnp.float32)
+    hit = keys == key[..., None]
+    found = jnp.any(hit, axis=-1)
+    p = jnp.sum(jnp.where(hit, vals, 0.0), axis=-1)
+    out = jnp.where(found, p, v_bo + uni_w)
+    return jnp.where(v_lm < 0, uni_w, out)
 
 
 def bigram_score(ng: DeviceNgram, v: jnp.ndarray,

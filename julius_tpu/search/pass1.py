@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from julius_tpu.search.network import DecodeNetwork
-from julius_tpu.search.ngram_device import DeviceNgram, bigram_score
+from julius_tpu.search.ngram_device import (DeviceNgram, bigram_score,
+                                            bigram_score_fast)
 from julius_tpu.utils.logadd import LOG_ZERO
 
 NEG_HALF = LOG_ZERO / 2
@@ -78,6 +79,10 @@ class DeviceNetwork:
     exit_wlm: jnp.ndarray     # [Ex] LM word id of exit_w (-1 none)
     exit_uni: jnp.ndarray     # [Ex] log10 unigram of exit_w (0 if none)
     exit_transp: jnp.ndarray  # [Ex] bool: exit word is transparent
+    # per-vocab-word LM context row: (LM id as f32, unigram back-off
+    # weight) — one row gather resolves a token's LM context where the
+    # naive form needs two serial table gathers
+    ctx_info: Optional[jnp.ndarray]          # [V, 2] f32
     word_entry_lm: jnp.ndarray  # [V] lm_weight*log10 uni + penalty at entry
     wid2lm: jnp.ndarray       # [V] vocab word -> LM word id (-1 if no LM)
     transparent: jnp.ndarray  # [V] bool: word passes LM context through
@@ -95,7 +100,7 @@ jax.tree_util.register_dataclass(
     data_fields=["score_idx", "in_src", "in_lp", "loc_lp",
                  "entry_word", "entry_lp",
                  "exit_word", "exit_lp", "exit_nodes", "exit_w", "exit_nlp",
-                 "exit_wlm", "exit_uni", "exit_transp",
+                 "exit_wlm", "exit_uni", "exit_transp", "ctx_info",
                  "word_entry_lm", "wid2lm", "transparent",
                  "word_cat", "cpair", "cat_init", "cat_final"],
     meta_fields=["head_word", "tail_word", "local_k"],
@@ -174,6 +179,11 @@ def build_device_network(
         exit_wlm=jnp.asarray(exit_wlm),
         exit_uni=jnp.asarray(exit_uni),
         exit_transp=jnp.asarray(exit_transp),
+        ctx_info=(None if ngram is None else jnp.asarray(np.stack([
+            np.asarray(wid2lm, np.float32),
+            np.where(wid2lm >= 0,
+                     np.asarray(ngram.bo_uni)[np.maximum(wid2lm, 0)],
+                     0.0).astype(np.float32)], axis=1))),
         word_entry_lm=jnp.asarray(entry, dtype=jnp.float32),
         wid2lm=jnp.asarray(wid2lm, dtype=jnp.int32),
         transparent=jnp.asarray(transparent, dtype=bool),
@@ -236,58 +246,77 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
                          cfg: Pass1Config, state: Pass1State):
     """Corrected word-end records from the current node scores.
 
-    EVERY exit candidate gets the exact 2-gram correction (the swap of
-    the entry-factored unigram for the true 2-gram that the reference
-    performs per word-end token, beam.c beam_inter_word) — one batched
-    hash probe over the [Ex] axis, which the TPU runs as a single
-    vectorised gather.  The top M corrected candidates become the
-    frame's trellis atoms.  Payload fields are selected with a one-hot
-    matmul: TPU lowers small dynamic gathers to serial scalar loops
-    (~0.13 ms each), while the MXU selection is exact (one-hot of 1.0s,
-    field values < 2^24) and runs in microseconds."""
+    Two stages, like the reference's swap of entry-factored unigrams
+    for true 2-grams at word ends (beam.c beam_inter_word): the top 2M
+    candidates by approximate score get the exact 2-gram correction (a
+    handful of hash probes), then are re-ranked to the final M atoms.
+    Payload fields are selected with one-hot matmuls instead of small
+    dynamic gathers: TPU lowers the latter to serial scalar loops
+    (~0.13 ms each) while the MXU selection is exact (one-hot of 1.0s,
+    integer fields < 2^24) and takes microseconds.
+
+    (An all-exit correction variant — probing every candidate — was
+    measured faster still, but [Ex]-wide hash-table gathers inside the
+    scan step reliably fault the v5e backend; see git history.)"""
     M = cfg.n_atoms
-    sc = state.score[dev.exit_nodes] + dev.exit_nlp          # [Ex]
-    ctx = state.ctx[dev.exit_nodes]                          # [Ex]
-    prev = state.prev[dev.exit_nodes]                        # [Ex]
-    w = dev.exit_w
+    sc_all = state.score[dev.exit_nodes] + dev.exit_nlp      # [Ex]
+    Ex = sc_all.shape[0]
+    k = min(2 * M, Ex)
+    if Ex > 4 * k:
+        sc, sel = jax.lax.approx_max_k(sc_all, k, recall_target=0.99)
+    else:
+        sc, sel = jax.lax.top_k(sc_all, k)
+    # stage-1 candidate record (one one-hot matmul for all fields)
+    ctx_all = state.ctx[dev.exit_nodes]
+    prev_all = state.prev[dev.exit_nodes]
+    # transparent words pass their inherited LM context onward
+    ectx_all = jnp.where(dev.exit_transp, ctx_all, dev.exit_w)
+    f32 = jnp.float32
+    rec = jnp.stack([prev_all.astype(f32), ectx_all.astype(f32),
+                     dev.exit_w.astype(f32), ctx_all.astype(f32),
+                     dev.exit_wlm.astype(f32), dev.exit_uni],
+                    axis=-1)                                 # [Ex, 6]
+    oh1 = (sel[:, None] ==
+           jnp.arange(Ex, dtype=sel.dtype)[None, :])         # [k, Ex]
+    p1_ = jnp.matmul(oh1.astype(jnp.bfloat16), rec,
+                     preferred_element_type=f32)             # [k, 6]
+    prev_k = p1_[:, 0].astype(jnp.int32)
+    ectx_k = p1_[:, 1].astype(jnp.int32)
+    w_k = p1_[:, 2].astype(jnp.int32)
+    ctx_k = p1_[:, 3].astype(jnp.int32)
+    wlm_k = p1_[:, 4].astype(jnp.int32)
+    uni_k = p1_[:, 5]
     if cfg.use_lm and ngram is not None:
-        w_lm = dev.exit_wlm
-        v_lm = jnp.where(ctx >= 0, dev.wid2lm[jnp.maximum(ctx, 0)], -1)
-        bi = bigram_score(ngram, v_lm, jnp.maximum(w_lm, 0))
+        vrow = dev.ctx_info[jnp.maximum(ctx_k, 0)]           # [k, 2]
+        v_lm = jnp.where(ctx_k >= 0,
+                         vrow[:, 0].astype(jnp.int32), -1)
+        bi = bigram_score_fast(ngram, v_lm, vrow[:, 1],
+                               wlm_k, uni_k)
         if cfg.factoring >= 2:
             # entry already applied the exact 2-gram; no swap needed
             delta = jnp.zeros_like(sc)
         else:
-            delta = cfg.lm_weight * (bi - dev.exit_uni)
-            delta = jnp.where(w_lm >= 0, delta, 0.0)
+            delta = cfg.lm_weight * (bi - uni_k)
+            delta = jnp.where(wlm_k >= 0, delta, 0.0)
         lm_sc = jnp.where(
-            w_lm >= 0,
+            wlm_k >= 0,
             cfg.lm_weight * bi + cfg.lm_penalty, cfg.lm_penalty)
     else:
         delta = jnp.zeros_like(sc)
         lm_sc = jnp.full_like(sc, cfg.lm_penalty)
     corrected = jnp.where(sc > NEG_HALF, sc + delta, LOG_ZERO)
-    Ex = corrected.shape[0]
-    m_eff = min(M, Ex)
-    if Ex > 8 * m_eff:
-        csc, sel = jax.lax.approx_max_k(corrected, m_eff,
-                                        recall_target=0.99)
-    else:
-        csc, sel = jax.lax.top_k(corrected, m_eff)
-    # transparent words pass their inherited LM context onward
-    ectx_all = jnp.where(dev.exit_transp, ctx, w)
-    rec = jnp.stack([lm_sc,
-                     prev.astype(jnp.float32),
-                     ectx_all.astype(jnp.float32),
-                     w.astype(jnp.float32)], axis=-1)        # [Ex, 4]
-    onehot = (sel[:, None] ==
-              jnp.arange(Ex, dtype=sel.dtype)[None, :])      # [m, Ex]
-    picked = jnp.matmul(onehot.astype(jnp.bfloat16), rec,
-                        preferred_element_type=jnp.float32)  # [m, 4]
-    lm_sel = picked[:, 0]
-    prev_sel = picked[:, 1].astype(jnp.int32)
-    ectx = picked[:, 2].astype(jnp.int32)
-    w_sel = picked[:, 3].astype(jnp.int32)
+    m_eff = min(M, k)
+    csc, order = jax.lax.top_k(corrected, m_eff)
+    rec2 = jnp.stack([lm_sc, prev_k.astype(f32), ectx_k.astype(f32),
+                      w_k.astype(f32)], axis=-1)             # [k, 4]
+    oh2 = (order[:, None] ==
+           jnp.arange(k, dtype=order.dtype)[None, :])        # [m, k]
+    p2_ = jnp.matmul(oh2.astype(jnp.bfloat16), rec2,
+                     preferred_element_type=f32)             # [m, 4]
+    lm_sel = p2_[:, 0]
+    prev_sel = p2_[:, 1].astype(jnp.int32)
+    ectx = p2_[:, 2].astype(jnp.int32)
+    w_sel = p2_[:, 3].astype(jnp.int32)
     atoms = Trellis(
         word=jnp.where(csc > NEG_HALF, w_sel, -1),
         score=csc,
@@ -525,9 +554,14 @@ def _scalar_entry_batched(atoms: Trellis, t, M: int):
     valid = atoms.word >= 0
     sc = jnp.where(valid, atoms.score, LOG_ZERO)
     best = jnp.argmax(sc, axis=-1)                              # [B]
-    bsc = jnp.take_along_axis(sc, best[:, None], axis=-1)[:, 0]
-    bectx = jnp.take_along_axis(atoms.ectx, best[:, None], axis=-1)[:, 0]
-    bvalid = jnp.take_along_axis(valid, best[:, None], axis=-1)[:, 0]
+    # one-hot select instead of take_along_axis (serial scalar loops
+    # on TPU); fields exact through the f32 contraction
+    oh = (best[:, None] ==
+          jnp.arange(sc.shape[-1], dtype=best.dtype)[None, :])
+    ohf = oh.astype(jnp.float32)
+    bsc = jnp.sum(ohf * sc, axis=-1)
+    bectx = jnp.sum(ohf * atoms.ectx.astype(jnp.float32), axis=-1)
+    bvalid = jnp.sum(ohf * valid.astype(jnp.float32), axis=-1) > 0.5
     ent = jnp.where(bvalid, bsc, LOG_ZERO)
     ectx = jnp.where(bvalid, bectx, -1).astype(jnp.int32)
     eprev = ((t - 1) * M + best).astype(jnp.int32)

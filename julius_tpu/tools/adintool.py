@@ -2,8 +2,10 @@
 
 Reference: `adintool/` (multi I/O audio frontend: mic/file/stdin/adinnet
 in -> file/adinnet/vecnet/stdout out) and `adinrec/` (record one
-segment).  No microphone exists in this environment; inputs are
-files/stdin/adinnet, which covers the reference's non-device paths.
+segment).  Microphone input uses the native capture layer
+(adin/native/adin.cpp: ALSA / PulseAudio / OSS via dlopen); pass
+`-in fake:file.wav` to replay a file through the same capture path on
+machines without audio devices.
 
     python -m julius_tpu.tools.adintool -in file -filename x.wav \\
         -out file -filename-out seg        # seg.0001.wav, ...
@@ -29,7 +31,8 @@ def main(argv=None):
     opts = {"-in": "file", "-out": "file", "-filename": None,
             "-filename-out": "segment", "-server": "127.0.0.1",
             "-lv": "2000", "-zc": "60", "-headmargin": "300",
-            "-tailmargin": "400", "-freq": "16000", "-nosegment": None}
+            "-tailmargin": "400", "-freq": "16000", "-nosegment": None,
+            "-duration": "0"}
     i = 0
     flags = set()
     while i < len(argv):
@@ -53,6 +56,24 @@ def main(argv=None):
     elif opts["-in"] == "stdin":
         audio = np.frombuffer(sys.stdin.buffer.read(),
                               dtype="<i2").astype(np.float32)
+    elif opts["-in"] in ("mic", "auto", "alsa", "pulseaudio", "oss") \
+            or opts["-in"].startswith("fake:"):
+        from julius_tpu.adin.native_wrapper import make_capture
+        cap = make_capture(opts["-in"], rate=sr)
+        chunks = []
+        limit = float(opts.get("-duration") or "0")
+        got = 0
+        while True:
+            c = cap.read(4000)
+            if c is None:
+                break
+            chunks.append(c)
+            got += len(c)
+            if limit and got >= limit * sr:
+                break
+        cap.close()
+        audio = (np.concatenate(chunks) if chunks
+                 else np.zeros(0, np.float32))
     else:
         print(f"unsupported -in {opts['-in']}", file=sys.stderr)
         return 1

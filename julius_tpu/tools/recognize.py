@@ -190,6 +190,41 @@ def main(argv=None):
         for d in cfg.plugin_dirs:
             plugins.load_dir(d)
         plugins.startup(engines)
+    mic_sources = ("mic", "alsa", "pulseaudio", "oss")
+    if cfg.input_source in mic_sources \
+            or (cfg.input_source or "").startswith("fake:"):
+        # live audio input (reference -input mic, m_adin.c device
+        # selection): capture -> VAD segmentation -> streaming decode
+        from julius_tpu.adin.native_wrapper import make_capture
+        from julius_tpu.streaming import StreamSession
+
+        sink2 = OutputSink(charconv=cfg.charconv, outfile=cfg.outfile)
+        eng = engines[0]
+        cap = make_capture(cfg.input_source,
+                           rate=eng.fe_cfg.sample_rate)
+        sess = StreamSession(eng, progout=cfg.progout)
+        jlog(LogLevel.STAT, "listening (Ctrl-C to stop)")
+        n_out = 0
+        try:
+            while True:
+                chunk = cap.read(4000)
+                if chunk is None:
+                    break
+                for r in sess.feed(chunk):
+                    sink2.emit(f"\ninput: live segment {n_out}")
+                    sink2.emit(result_block(
+                        eng, r, separate_score=cfg.separatescore))
+                    n_out += 1
+        except KeyboardInterrupt:
+            pass
+        for r in sess.close():
+            sink2.emit(f"\ninput: live segment {n_out}")
+            sink2.emit(result_block(
+                eng, r, separate_score=cfg.separatescore))
+            n_out += 1
+        cap.close()
+        return 0
+
     files = collect_inputs(cfg, files)
     if not files:
         jlog(LogLevel.ERROR, "no input files (give paths or -filelist)")
