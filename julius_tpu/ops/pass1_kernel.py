@@ -33,7 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 from julius_tpu.utils.logadd import LOG_ZERO
 
 NEG_HALF = LOG_ZERO / 2
-TILE_N = 1024          # node-axis tile width (lanes; multiple of 128)
+TILE_N = 1024          # node-axis tile width at batch <= 64
+
+
+def tile_n(batch: int) -> int:
+    """Node-tile width for a given batch size.  ~13 (B, TN) f32/i32
+    blocks live in VMEM double-buffered, so B*TN is capped to keep the
+    kernel's scoped VMEM under the 16 MB budget."""
+    tn = TILE_N
+    while batch * tn > 64 * 1024 and tn > 128:
+        tn //= 2
+    return tn
 
 
 def _step_kernel(score_c, score_p, ctx_c, ctx_p, prev_c, prev_p,
@@ -90,9 +100,10 @@ def fused_step(score, ctx, prev, loc_lp, entry_total, out_node,
     / trellis pointer; frame_valid: [B] bool.
     Returns (new_score, new_ctx, new_prev)."""
     B, Np = score.shape
-    if Np % TILE_N:
-        raise ValueError(f"node axis {Np} not a multiple of {TILE_N}")
-    grid = Np // TILE_N
+    tn = tile_n(B)
+    if Np % tn:
+        raise ValueError(f"node axis {Np} not a multiple of {tn}")
+    grid = Np // tn
     k1 = loc_lp.shape[0]
 
     et2 = entry_total.reshape(1, Np)
@@ -102,7 +113,7 @@ def fused_step(score, ctx, prev, loc_lp, entry_total, out_node,
     fv = frame_valid.reshape(B, 1).astype(jnp.int32)
 
     def tile(idx_map):
-        return pl.BlockSpec((B, TILE_N), idx_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((B, tn), idx_map, memory_space=pltpu.VMEM)
 
     cur = lambda i: (0, i)
     prv = lambda i: (0, jnp.maximum(i - 1, 0))
@@ -120,8 +131,8 @@ def fused_step(score, ctx, prev, loc_lp, entry_total, out_node,
             tile(cur), tile(prv),            # score
             tile(cur), tile(prv),            # ctx
             tile(cur), tile(prv),            # prev
-            pl.BlockSpec((k1, TILE_N), cur, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k1, tn), cur, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), cur, memory_space=pltpu.VMEM),
             tile(cur),                       # out_node
             pl.BlockSpec((B, 1), scal, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), scal, memory_space=pltpu.VMEM),

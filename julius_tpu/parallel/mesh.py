@@ -79,8 +79,24 @@ def parallel_decode_fn(engine, mesh: Mesh):
     """Jitted batched decode with the utterance batch sharded over dp.
 
     Returns fn(wave [B, L], lengths [B]) -> (Trellis, n_frames); B must
-    be divisible by the dp axis size."""
+    be divisible by the dp axis size.  Pass 1 uses the XLA formulation
+    here (a pallas_call cannot be GSPMD-partitioned; the fused kernel
+    is the single-chip fast path)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from julius_tpu.search import pass1 as p1
+
+    cfg = dataclasses.replace(engine.p1_cfg, use_pallas=False)
+
+    def decode(wave, lengths):
+        feats, mask = engine._features(wave, lengths)
+        nfr = jnp.sum(mask.astype(jnp.int32), axis=-1)
+        out_ext = engine._outprob(feats)
+        trellis = p1.pass1_batch(engine.dev_net, engine.ngram_dev, cfg,
+                                 out_ext, nfr)
+        return trellis, nfr
+
     data = NamedSharding(mesh, P("dp"))
     wave_s = NamedSharding(mesh, P("dp", None))
-    return jax.jit(engine._decode_device,
-                   in_shardings=(wave_s, data))
+    return jax.jit(decode, in_shardings=(wave_s, data))

@@ -215,6 +215,11 @@ class Pass1Config:
     #     context-dependent entry winners like the reference's factor2)
     factoring: int = 1
     expand_k: int = 8
+    # tri-state fused-kernel override for this config (None = module
+    # FUSE_PASS1 / backend auto).  parallel/mesh.py sets False: a
+    # pallas_call cannot be GSPMD-partitioned, so the dp-sharded
+    # multi-chip decode stays on the XLA formulation.
+    use_pallas: Optional[bool] = None
 
 
 class Trellis(NamedTuple):
@@ -535,7 +540,7 @@ FUSE_PASS1: Optional[bool] = None
 
 
 def _fused_ok(dev: DeviceNetwork, cfg: Pass1Config) -> bool:
-    if FUSE_PASS1 is False:
+    if cfg.use_pallas is False or FUSE_PASS1 is False:
         return False
     supported = (dev.local_k >= 0 and cfg.crossword and not cfg.use_dfa
                  and not (cfg.use_lm and cfg.factoring >= 2)
@@ -579,7 +584,8 @@ def _pass1_batch_fused(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     interp = jax.default_backend() != "tpu"
     B, T, R = out_ext.shape
     N = dev.score_idx.shape[0]
-    Np = -(-N // pk.TILE_N) * pk.TILE_N
+    tn = pk.tile_n(B)
+    Np = -(-N // tn) * tn
     pad = Np - N
     M = cfg.n_atoms
 
