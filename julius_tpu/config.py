@@ -220,6 +220,8 @@ class SearchConfig:
     score_prune_width: float = 0.0  # 0 = off
     # pass-2
     enable_pass2: bool = True
+    pass2_rescan: bool = True       # acoustic re-scan (scan_word parity);
+                                    # False = freeze AM at pass-1 scores
     nbest: int = 1                  # -n sentences to find
     output_n: int = 1               # -output sentences to emit
     max_hypo_pop: int = 2000        # -m hypothesis overflow

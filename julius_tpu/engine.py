@@ -31,6 +31,7 @@ from julius_tpu.search.network import DecodeNetwork, build_network
 from julius_tpu.search.ngram_device import DeviceNgram, build_device_ngram
 from julius_tpu.search import pass1 as p1
 from julius_tpu.search import pass2 as p2
+from julius_tpu.search import pass2_rescan as p2r
 from julius_tpu.search import graphout as go
 from julius_tpu.utils.jlog import LogLevel, jlog
 
@@ -179,6 +180,7 @@ class Engine:
                 self.gms = build_gms(hmm, gshmm, self.am_cfg.gsnum)
 
         self._decode_jit = jax.jit(self._decode_device)
+        self._chain_cache = None    # lazy search.scan.ChainCache (pass-2)
 
     # -- setup helpers ----------------------------------------------------
 
@@ -254,7 +256,9 @@ class Engine:
         out_ext = self._outprob(feats)
         trellis = p1.pass1_batch(self.dev_net, self.ngram_dev, self.p1_cfg,
                                  out_ext, nfr)
-        return trellis, nfr
+        # out_ext doubles as the pass-2 outprob cache (the reference keeps
+        # it whole-utterance too, outprob.c:184); it stays on device
+        return trellis, nfr, out_ext
 
     def _reject(self, feats_b: Optional[np.ndarray], n: int) -> Optional[str]:
         """Input rejection checks; returns a reason or None (reference
@@ -276,7 +280,8 @@ class Engine:
         trellis = jax.jit(partial(
             p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
             out_ext, n_frames)
-        results = self._results(trellis, np.asarray(n_frames))
+        results = self._results(trellis, np.asarray(n_frames),
+                                out_ext=out_ext)
         self._maybe_align(results, feats, np.asarray(n_frames))
         return results
 
@@ -318,7 +323,8 @@ class Engine:
         trellis = jax.jit(partial(
             p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
             out_ext, jnp.asarray(n_frames))
-        return self._results(trellis, np.asarray(n_frames))
+        return self._results(trellis, np.asarray(n_frames),
+                             out_ext=out_ext)
 
     # -- public API -------------------------------------------------------
 
@@ -340,40 +346,91 @@ class Engine:
         """Batched file-input recognition: [B, L] int16/float waveforms."""
         wave = jnp.asarray(wave, dtype=jnp.float32)
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
-        trellis, nfr = self._decode_jit(wave, lengths)
+        trellis, nfr, out_ext = self._decode_jit(wave, lengths)
         feats = None
         if self.gmm_frontend is not None:
             feats = np.asarray(jax.jit(
                 lambda w, l: fe.extract_features(w, l, self.fe_tables)[0])(
                 wave, lengths))
-        results = self._results(trellis, np.asarray(nfr), feats)
+        results = self._results(trellis, np.asarray(nfr), feats,
+                                out_ext=out_ext)
         sc = self.search_cfg
         if sc.align_word or sc.align_phoneme or sc.align_state:
             afeats = jax.jit(self._features)(wave, lengths)[0]
             self._maybe_align(results, afeats, np.asarray(nfr))
         return results
 
+    def _rescan_ok(self) -> bool:
+        """True when pass 2 should re-derive acoustics with scan_word
+        (reference search_bestfirst_v1.c:589); the backward-RL-LM search
+        keeps the frozen-score path for now."""
+        sc = self.search_cfg
+        if not sc.pass2_rescan:
+            return False
+        if self.lmtype == "grammar":
+            return self.dfa is not None
+        if self.lmtype == "ngram":
+            return (self.lm is None
+                    or getattr(self.lm, "direction", "LR") != "RL")
+        return False
+
+    @property
+    def chain_cache(self):
+        if self._chain_cache is None:
+            from julius_tpu.search.scan import ChainCache
+            self._chain_cache = ChainCache(self.net)
+        return self._chain_cache
+
+    def _rescan_strategy(self):
+        if self.lmtype == "grammar":
+            return p2r.DfaStrategy(self.dfa, self.word_cat, self.search_cfg)
+        transparent = np.asarray(self.voca.transparent, dtype=bool) \
+            if self.voca.transparent else None
+        cprob = (np.asarray(self.voca.cprob, dtype=np.float32)
+                 if self.voca.cprob and any(self.voca.cprob) else None)
+        return p2r.NgramStrategy(self.lm, self._wid2lm_p2, self.search_cfg,
+                                 self.net.tail_word, transparent, cprob)
+
     def _results(self, trellis, nfr: np.ndarray,
-                 feats: Optional[np.ndarray] = None) -> List[Result]:
-        out = []
+                 feats: Optional[np.ndarray] = None,
+                 out_ext=None) -> List[Result]:
         B = nfr.shape[0]
         tr_host = jax.tree_util.tree_map(np.asarray, trellis)
+        out: List[Optional[Result]] = [None] * B
+        tbs: List[Optional[object]] = [None] * B
+        want_p2 = self.search_cfg.enable_pass2 and self.lmtype != "word"
+        rescan = want_p2 and out_ext is not None and self._rescan_ok()
+        lattices: List[Optional[p2.TrellisLattice]] = [None] * B
         for b in range(B):
             tb = jax.tree_util.tree_map(lambda a: a[b], tr_host)
             if nfr[b] <= 0:
-                out.append(Result(valid=False))
+                out[b] = Result(valid=False)
                 continue
             reason = self._reject(
                 feats[b] if feats is not None else None, int(nfr[b]))
             if reason is not None:
-                out.append(Result(valid=False, reject_reason=reason))
+                out[b] = Result(valid=False, reject_reason=reason)
                 continue
-            res = None
-            if self.search_cfg.enable_pass2 and self.lmtype != "word":
-                res = self._pass2_result(tb, int(nfr[b]))
-            if res is None:
-                res = self._pass1_result(tb, int(nfr[b]))
-            out.append(res)
+            tbs[b] = tb
+            if rescan:
+                lattices[b] = p2.TrellisLattice(tb, int(nfr[b]))
+            elif want_p2:
+                out[b] = self._pass2_result(tb, int(nfr[b]))
+        if rescan and any(l is not None for l in lattices):
+            disp = p2r.ScanDispatcher(self.chain_cache, out_ext,
+                                      self.search_cfg.scan_beam)
+            nbest_lists = p2r.rescan_nbest_batch(
+                lattices, disp, self._rescan_strategy(), self.search_cfg)
+            for b in range(B):
+                if lattices[b] is not None and nbest_lists[b]:
+                    out[b] = self._assemble_pass2(nbest_lists[b],
+                                                  lattices[b])
+        for b in range(B):
+            if out[b] is None:
+                # pass-2 empty -> pass-1 fallback (reference
+                # pass2_finalize_on_no_result)
+                out[b] = (self._pass1_result(tbs[b], int(nfr[b]))
+                          if tbs[b] is not None else Result(valid=False))
         for res in out:
             self.callbacks.exec("result", res)
         return out
@@ -414,12 +471,21 @@ class Engine:
             from_pass=1,
         )
 
-    def _pass2_result(self, tb, n_frames: int) -> Optional[Result]:
-        """Stack-decoding rescore; falls back to pass 1 on empty result
-        (reference pass2_finalize_on_no_result,
-        search_bestfirst_main.c:1155)."""
+    def _pass2_result(self, tb, n_frames: int,
+                      out_ext=None) -> Optional[Result]:
+        """Stack-decoding rescore of one utterance; falls back to pass 1
+        on empty result (reference pass2_finalize_on_no_result,
+        search_bestfirst_main.c:1155).  With out_ext ([1, T, R] device
+        outprob cache) and an eligible config, uses the acoustic re-scan
+        search (pass2_rescan); otherwise the frozen-score search."""
         lattice = p2.TrellisLattice(tb, n_frames)
-        if self.lmtype == "grammar":
+        if out_ext is not None and self._rescan_ok():
+            disp = p2r.ScanDispatcher(self.chain_cache, out_ext,
+                                      self.search_cfg.scan_beam)
+            nbest = p2r.rescan_nbest_batch(
+                [lattice], disp, self._rescan_strategy(),
+                self.search_cfg)[0]
+        elif self.lmtype == "grammar":
             nbest = p2.pass2_search_dfa(lattice, self.dfa, self.word_cat,
                                         self.search_cfg)
         else:
@@ -439,6 +505,12 @@ class Engine:
                                         cprob)
         if not nbest:
             return None
+        return self._assemble_pass2(nbest, lattice)
+
+    def _assemble_pass2(self, nbest: List[p2.NBestResult],
+                        lattice: p2.TrellisLattice) -> Result:
+        """N-best list -> Result with confidence/MBR/graph attachments
+        (reference result output block, search_bestfirst_main.c:1090)."""
         if self.search_cfg.compute_confidence:
             p2.confidence_scores(nbest, self.search_cfg.cm_alpha)
         if self.search_cfg.mbr:

@@ -1,0 +1,224 @@
+"""Pass-2 acoustic re-scan: batched per-word seeded Viterbi (scan_word).
+
+The reference's second pass re-runs a per-word Viterbi for every
+hypothesis expansion against the whole-utterance outprob cache
+(`libjulius/src/search_bestfirst_v1.c:589` scan_word, cache kept by
+`libsent/src/phmm/outprob.c:184`): a hypothesis carries g[t] — its best
+score for every possible boundary frame t — and attaching word w
+computes g'[t] = max_tau ( g[tau-1] + Viterbi(w, frames tau..t) ), which
+re-derives the word's acoustic score *and* its boundary exactly instead
+of freezing both at the pass-1 approximation.
+
+TPU design: one jitted `lax.scan` over frames advances K independent
+word chains at once (K = all expansions of one A* round across the
+whole utterance batch).  Word chains are slices of the flat decode
+network (search/network.py), so in-word arcs have local span
+(dst - src <= KL) and the per-frame update is KL+1 dense shifted adds —
+the same shift-structured trick as pass 1, no node-axis gathers.  The
+entry seeding g[tau-1] folds in as one extra max per frame, and the
+entry frame rides along as an argmax payload so boundaries come out of
+the same scan.  Everything is static-shaped: K is bucketed, chains are
+padded to the vocabulary's longest word.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julius_tpu.search.network import DecodeNetwork
+from julius_tpu.utils.logadd import LOG_ZERO
+
+NEG_HALF = LOG_ZERO / 2
+
+#: K buckets for one scan dispatch (pads up; keeps jit cache small)
+K_BUCKETS = (16, 64, 256, 1024)
+
+
+def bucket_k(k: int) -> int:
+    for b in K_BUCKETS:
+        if k <= b:
+            return b
+    return -(-k // K_BUCKETS[-1]) * K_BUCKETS[-1]
+
+
+class ChainCache:
+    """Per-word chain tables sliced from the flat decode network.
+
+    Lazy per word: large vocabularies only pay for words that actually
+    appear in a trellis.  All tables are padded to the vocabulary's
+    longest word (`nmax` nodes) so one scan dispatch covers any mix."""
+
+    def __init__(self, net: DecodeNetwork):
+        self.net = net
+        ofs = net.word_node_ofs
+        self.nmax = int(np.max(np.diff(ofs))) if len(ofs) > 1 else 1
+        # in-word arc span bound (the flat network has no cross-word
+        # arcs, so this is exactly pass1's local_k)
+        N, Din = net.in_src.shape
+        valid = net.in_lp > NEG_HALF
+        span = (np.arange(N, dtype=np.int64)[:, None]
+                - net.in_src.astype(np.int64))
+        if valid.any():
+            smax, smin = int(span[valid].max()), int(span[valid].min())
+        else:
+            smax = smin = 0
+        if smin < 0:
+            raise ValueError("decode network has backward in-word arcs; "
+                             "scan_word requires a left-to-right lexicon")
+        self.kl = smax
+        self._rows: Dict[int, Tuple[np.ndarray, ...]] = {}
+
+    def _build(self, w: int):
+        net = self.net
+        n0 = int(net.word_node_ofs[w])
+        n1 = int(net.word_node_ofs[w + 1])
+        nw = n1 - n0
+        nm, kl = self.nmax, self.kl
+        loc = np.full((kl + 1, nm), LOG_ZERO, dtype=np.float32)
+        src = net.in_src[n0:n1].astype(np.int64) - n0
+        lp = net.in_lp[n0:n1]
+        dst = np.arange(nw, dtype=np.int64)[:, None]
+        ok = lp > NEG_HALF
+        ii, dd = np.nonzero(ok)
+        np.maximum.at(loc, ((dst - src)[ii, dd], ii), lp[ii, dd])
+        ent = np.full(nm, LOG_ZERO, dtype=np.float32)
+        ent[:nw] = net.entry_lp[n0:n1]
+        ext = np.full(nm, LOG_ZERO, dtype=np.float32)
+        ext[:nw] = net.exit_lp[n0:n1]
+        sidx = np.zeros(nm, dtype=np.int32)
+        sidx[:nw] = net.score_idx[n0:n1]
+        return loc, ent, ext, sidx
+
+    def rows(self, word_ids) -> Tuple[np.ndarray, ...]:
+        """Stack chain tables for a list of word ids (pad id -1 = dead
+        chain that scores LOG_ZERO everywhere)."""
+        locs, ents, exts, sidxs = [], [], [], []
+        dead = None
+        for w in word_ids:
+            if w < 0:
+                if dead is None:
+                    dead = (np.full((self.kl + 1, self.nmax), LOG_ZERO,
+                                    np.float32),
+                            np.full(self.nmax, LOG_ZERO, np.float32),
+                            np.full(self.nmax, LOG_ZERO, np.float32),
+                            np.zeros(self.nmax, np.int32))
+                r = dead
+            else:
+                r = self._rows.get(w)
+                if r is None:
+                    r = self._build(w)
+                    self._rows[w] = r
+            locs.append(r[0])
+            ents.append(r[1])
+            exts.append(r[2])
+            sidxs.append(r[3])
+        return (np.stack(locs), np.stack(ents), np.stack(exts),
+                np.stack(sidxs))
+
+
+def scan_words(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
+               sidx: jnp.ndarray, seed: jnp.ndarray, bidx: jnp.ndarray,
+               out_ext: jnp.ndarray):
+    """Advance K word chains over the whole utterance in one scan.
+
+    loc   [K, KL+1, N]  shifted in-word arc scores (ln)
+    ent   [K, N]        word-entry ln p (LOG_ZERO on non-entry nodes)
+    ext   [K, N]        word-exit ln p
+    sidx  [K, N]        rows into the extended outprob table
+    seed  [K, T]        score available for *entering* at frame t
+                        (prev hypothesis score at t-1, LM already added)
+    bidx  [K]           utterance index of each chain into out_ext
+    out_ext [B, T, R]   whole-batch outprob cache
+
+    Returns (g [K, T], beg [K, T] int32): g[k, t] = best score with the
+    word ending exactly at frame t; beg[k, t] = the entry frame of that
+    best path (the refined word-begin boundary).
+    """
+    K, KLp1, N = loc.shape
+    B, T, R = out_ext.shape
+    gather_idx = bidx[:, None] * R + sidx                     # [K, N]
+
+    def shift(x, k, fill):
+        if k == 0:
+            return x
+        pad = jnp.full((K, k), fill, x.dtype)
+        return jnp.concatenate([pad, x[:, :-k]], axis=1)
+
+    def step(carry, xs):
+        sc, efr = carry
+        seed_t, t = xs
+        out_row = jax.lax.dynamic_index_in_dim(out_ext, t, 1,
+                                               keepdims=False)  # [B, R]
+        outg = out_row.reshape(-1)[gather_idx]                  # [K, N]
+        cands = [shift(sc, k, LOG_ZERO) + loc[:, k, :]
+                 for k in range(KLp1)]
+        mx = cands[0]
+        for c in cands[1:]:
+            mx = jnp.maximum(mx, c)
+        nefr = efr
+        taken = cands[0] >= mx
+        for k in range(1, KLp1):
+            hit = (cands[k] >= mx) & ~taken
+            taken = taken | hit
+            nefr = jnp.where(hit, shift(efr, k, 0), nefr)
+        ent_t = seed_t[:, None] + ent                           # [K, N]
+        enter = ent_t > mx
+        base = jnp.maximum(ent_t, mx)
+        nsc = jnp.where(base > NEG_HALF, base + outg, LOG_ZERO)
+        nefr = jnp.where(enter, t, nefr)
+        endv = jnp.where(nsc > NEG_HALF, nsc + ext, LOG_ZERO)
+        an = jnp.argmax(endv, axis=1)
+        g_t = jnp.take_along_axis(endv, an[:, None], axis=1)[:, 0]
+        b_t = jnp.take_along_axis(nefr, an[:, None], axis=1)[:, 0]
+        return (nsc, nefr), (g_t, b_t)
+
+    sc0 = jnp.full((K, N), LOG_ZERO, jnp.float32)
+    efr0 = jnp.zeros((K, N), jnp.int32)
+    ts = jnp.arange(T, dtype=jnp.int32)
+    _, (g, beg) = jax.lax.scan(step, (sc0, efr0), (seed.T, ts))
+    return g.T, beg.T
+
+
+def scan_words_ref(loc: np.ndarray, ent: np.ndarray, ext: np.ndarray,
+                   sidx: np.ndarray, seed: np.ndarray,
+                   out_rows: np.ndarray):
+    """Brute-force numpy reference of `scan_words` for ONE chain
+    (tests): out_rows [T, R] for the chain's utterance."""
+    KLp1, N = loc.shape
+    T = out_rows.shape[0]
+    g = np.full(T, LOG_ZERO, np.float32)
+    beg = np.zeros(T, np.int32)
+    sc = np.full(N, LOG_ZERO, np.float32)
+    efr = np.zeros(N, np.int32)
+    for t in range(T):
+        mx = np.full(N, LOG_ZERO, np.float32)
+        src_k = np.zeros(N, np.int64)
+        for k in range(KLp1):
+            shifted = np.full(N, LOG_ZERO, np.float32)
+            if k == 0:
+                shifted = sc.copy()
+            else:
+                shifted[k:] = sc[:-k]
+            cand = shifted + loc[k]
+            better = cand > mx
+            mx = np.where(better, cand, mx)
+            src_k = np.where(better, k, src_k)
+        nefr = np.zeros(N, np.int32)
+        for i in range(N):
+            j = i - src_k[i]
+            nefr[i] = efr[j] if 0 <= j < N else 0
+        ent_t = seed[t] + ent
+        enter = ent_t > mx
+        base = np.maximum(ent_t, mx)
+        outg = out_rows[t][sidx]
+        sc = np.where(base > NEG_HALF, base + outg, LOG_ZERO)
+        efr = np.where(enter, t, nefr)
+        endv = np.where(sc > NEG_HALF, sc + ext, LOG_ZERO)
+        an = int(np.argmax(endv))
+        g[t] = endv[an]
+        beg[t] = efr[an]
+    return g, beg

@@ -78,6 +78,7 @@ class StreamSession:
         self._state = None
         self._atoms: List[Trellis] = []
         self._feat_pending: List[np.ndarray] = []   # frames awaiting splice
+        self._out_rows: List[np.ndarray] = []       # pass-2 outprob cache
         self._nframes = 0
         self._in_segment = False
         self._last_prog = 0
@@ -208,6 +209,9 @@ class StreamSession:
         block = np.zeros((self.block, len(rows[0])), dtype=np.float32)
         block[:count] = rows
         out = self._out_fn(jnp.asarray(block))
+        # grow the whole-segment outprob cache for the pass-2 re-scan
+        # (reference outprob_cache growth, outprob.c:184)
+        self._out_rows.append(np.asarray(out[:count]))
         if self._state is None:
             self._state = self._init_fn(out[0])
             rest, n_valid = out[1:], count - 1
@@ -249,7 +253,11 @@ class StreamSession:
             eng.callbacks.exec("result_pass1", eng._pass1_result(tr, T))
         if eng.search_cfg.enable_pass2 and eng.lmtype != "word":
             eng.callbacks.exec("event_pass2_begin")
-            res = eng._pass2_result(tr, T)
+            out_ext = None
+            if self._out_rows and eng._rescan_ok():
+                cache = np.concatenate(self._out_rows)[:T]
+                out_ext = jnp.asarray(cache)[None]
+            res = eng._pass2_result(tr, T, out_ext=out_ext)
         if res is None:
             res = eng._pass1_result(tr, T)
         self._reset_segment()

@@ -168,7 +168,7 @@ def main(argv=None):
         else:
             from julius_tpu.io.wav import read_audio
             wave = read_audio(path)
-            trellis, nfr_d = eng._decode_jit(
+            trellis, nfr_d, _out = eng._decode_jit(
                 jnp.asarray(wave[None], dtype=jnp.float32),
                 jnp.asarray([len(wave)], dtype=jnp.int32))
             nfr = int(np.asarray(nfr_d)[0])
