@@ -213,7 +213,10 @@ class SearchConfig:
     transparent_penalty: float = 0.0
     # pass-1 beam
     beam_width: int = 0             # 0 = full (dense) Viterbi, no pruning
-    trellis_topm: int = 64          # word-ends recorded per frame
+    trellis_topm: int = 0           # word-ends recorded per frame
+                                    # (0 = auto-size with vocabulary; the
+                                    # reference keeps ALL survivors,
+                                    # backtrellis.c, so M must grow with V)
     crossword_topk: int = 16        # word-ends expanded cross-word per frame
     factoring: int = 1              # 1 = unigram entry (fast), 2 = exact
                                     # bigram entry (reference factor1/2)
@@ -267,6 +270,17 @@ class EngineConfig:
     # rejection
     reject_short_ms: int = 0
     reject_long_ms: int = 0
+    # GMM utterance verification / GMM-VAD (reference gmm.c:429-734;
+    # jconf.reject.gmm_* and detect.gmm_* blocks, default.c:82-98)
+    gmm_path: Optional[str] = None      # -gmm hmmdefs of GMM set
+    gmm_num: int = 10                   # -gmmnum Gaussian prune per mix
+    gmm_reject: list = field(default_factory=list)  # -gmmreject names
+    gmm_margin: int = 20                # -gmmmargin VAD window (frames)
+    gmm_up: float = 0.7                 # -gmmup VAD up-trigger
+    gmm_down: float = -0.2              # -gmmdown VAD down-trigger
+    gmm_vad: bool = False               # use the GMM as a VAD gate
+    gmm_noise_names: list = field(default_factory=list)
+    power_thres: float = 0.0            # -powerthres (0 = off)
     # decoding
     batch_size: int = 1             # utterances decoded per device step
     realtime: bool = False

@@ -141,6 +141,13 @@ class Engine:
             transparent_penalty=sc.transparent_penalty,
             cprob=(np.asarray(voca.cprob, dtype=np.float32)
                    if voca.cprob and any(voca.cprob) else None))
+        if sc.trellis_topm <= 0:
+            # auto-size M with the vocabulary: the reference's
+            # backtrellis keeps every survivor word-end per frame
+            # (backtrellis.c), so a fixed per-frame cap must grow with
+            # how many words can plausibly end at once
+            sc.trellis_topm = int(
+                min(256, max(64, -(-voca.n_words // 160) // 32 * 32 + 32)))
         self.p1_cfg = p1.Pass1Config(
             n_atoms=sc.trellis_topm,
             lm_weight=sc.lm_weight,
@@ -163,6 +170,7 @@ class Engine:
         self.gmm_frontend = None          # frontend.gmm_frontend.GMMFrontend
         self.reject_short_frames: int = 0
         self.reject_long_frames: int = 0
+        self.power_thres: float = 0.0     # -powerthres (0 = off)
         self.noise_spectrum = None        # -ssload spectral subtraction
 
         # acoustic scorer
@@ -267,6 +275,15 @@ class Engine:
             return "too short"
         if self.reject_long_frames and n > self.reject_long_frames:
             return "too long"
+        if self.power_thres > 0.0 and feats_b is not None \
+                and self.fe_cfg.use_energy:
+            from julius_tpu.frontend.gmm_frontend import power_reject
+            # absolute energy sits last in the static block (mfcc.py
+            # layout; reference POWER_REJECT avg_power, pass1.c:321);
+            # clamped for externally supplied feature widths
+            idx = min(self.fe_cfg.base_dim, feats_b.shape[-1]) - 1
+            if power_reject(feats_b[:n], idx, self.power_thres):
+                return "low power"
         if self.gmm_frontend is not None and feats_b is not None:
             g = self.gmm_frontend.verify(feats_b[:n])
             if not g.accepted:
@@ -280,8 +297,15 @@ class Engine:
         trellis = jax.jit(partial(
             p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
             out_ext, n_frames)
+        # rejection hooks see the base features (mfcfile input passes
+        # through GMM verification in the reference too); DNN-spliced
+        # rows have the wrong width for the GMM's own models
+        feats_rej = None
+        if (self.gmm_frontend is not None or self.power_thres > 0.0) \
+                and self.dnn_scorer is None:
+            feats_rej = np.asarray(feats)
         results = self._results(trellis, np.asarray(n_frames),
-                                out_ext=out_ext)
+                                feats_rej, out_ext=out_ext)
         self._maybe_align(results, feats, np.asarray(n_frames))
         return results
 
@@ -348,7 +372,7 @@ class Engine:
         lengths = jnp.asarray(lengths, dtype=jnp.int32)
         trellis, nfr, out_ext = self._decode_jit(wave, lengths)
         feats = None
-        if self.gmm_frontend is not None:
+        if self.gmm_frontend is not None or self.power_thres > 0.0:
             feats = np.asarray(jax.jit(
                 lambda w, l: fe.extract_features(w, l, self.fe_tables)[0])(
                 wave, lengths))

@@ -172,6 +172,24 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
     am_cache = {}
     lm_cache = {}
     engines = []
+    gmm_front = None
+    if cfg.gmm_path:
+        # GMM verification / VAD frontend (reference m_fusion.c loads
+        # reject.gmm_filename into its own HMM + MFCC instance,
+        # gmm_init gmm.c:429); shared across all search instances
+        from julius_tpu.frontend.gmm_frontend import GMMFrontend
+        if _is_binhmm(cfg.gmm_path):
+            gmm_hmm, _ = read_binhmm(cfg.gmm_path)
+        else:
+            gmm_hmm = load_hmmdefs(cfg.gmm_path)
+        gmm_front = GMMFrontend(
+            gmm_hmm, reject_names=cfg.gmm_reject,
+            vad_noise_names=(cfg.gmm_noise_names or cfg.gmm_reject),
+            vad_margin=float(cfg.gmm_margin),
+            vad_up=cfg.gmm_up, vad_down=cfg.gmm_down)
+        jlog(LogLevel.STAT,
+             f"GMM frontend: {gmm_hmm.n_phones} models, "
+             f"reject={sorted(gmm_front.reject)}")
     for sr in cfg.searches:
         am_cfg = cfg.am(sr.am_name)
         lm_cfg = cfg.lm(sr.lm_name)
@@ -189,6 +207,14 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
         if am_cfg.ssload_path:
             from julius_tpu.io.ss import load_noise_spectrum
             eng.set_noise_spectrum(load_noise_spectrum(am_cfg.ssload_path))
+        # input rejection hooks (reference recogmain.c:1106-1256)
+        eng.gmm_frontend = gmm_front
+        shift = am_cfg.frontend.shift_ms or 10.0
+        if cfg.reject_short_ms:
+            eng.reject_short_frames = int(cfg.reject_short_ms / shift)
+        if cfg.reject_long_ms:
+            eng.reject_long_frames = int(cfg.reject_long_ms / shift)
+        eng.power_thres = cfg.power_thres
         engines.append(eng)
         jlog(LogLevel.STAT,
              f"instance '{sr.name}': AM={am_cfg.name} LM={lm_cfg.name} "

@@ -303,6 +303,31 @@ class JconfParser:
                 self.cfg.reject_short_ms = int(nxt())
             elif o == "-rejectlong":
                 self.cfg.reject_long_ms = int(nxt())
+            # ---- GMM verification / VAD (m_options.c:1218-1250) ------
+            elif o == "-gmm":
+                self.cfg.gmm_path = self.path(nxt())
+            elif o == "-gmmnum":
+                self.cfg.gmm_num = int(nxt())
+            elif o == "-gmmreject":
+                self.cfg.gmm_reject = [s for s in nxt().split(",") if s]
+            elif o == "-gmmmargin":
+                self.cfg.gmm_margin = int(nxt())
+                self.cfg.gmm_vad = True
+            elif o == "-gmmup":
+                self.cfg.gmm_up = float(nxt())
+                self.cfg.gmm_vad = True
+            elif o == "-gmmdown":
+                self.cfg.gmm_down = float(nxt())
+                self.cfg.gmm_vad = True
+            elif o == "-gmmnoise":
+                # VAD noise-model names (our runtime split of the
+                # reference's compile-time GMM_VAD: noise models double
+                # as the reject set there)
+                self.cfg.gmm_noise_names = \
+                    [s for s in nxt().split(",") if s]
+                self.cfg.gmm_vad = True
+            elif o == "-powerthres":
+                self.cfg.power_thres = float(nxt())
             elif o == "-lv":
                 self.cfg.vad_level = int(nxt())
             elif o == "-zc":

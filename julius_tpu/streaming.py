@@ -42,12 +42,21 @@ class StreamSession:
     def __init__(self, engine, vad: Optional[VADConfig] = None,
                  use_vad: bool = True, block_frames: int = 16,
                  spsegment: bool = False, sp_frames: int = 10,
-                 progout: bool = False, prog_frames: int = 30):
+                 progout: bool = False, prog_frames: int = 30,
+                 gmm_vad: bool = False, gmm_margin: int = 20):
         self.engine = engine
         self.block = block_frames
         self.use_vad = use_vad
         self.spsegment = spsegment
         self.sp_frames = sp_frames
+        # GMM-VAD gate (reference gmm.c GMM_VAD: sliding margin window
+        # with up/down triggers + backstep margin); requires
+        # engine.gmm_frontend with noise models configured
+        self.gmm_vad = gmm_vad and engine.gmm_frontend is not None
+        self.gmm_margin = gmm_margin
+        self._gv_ring: List[np.ndarray] = []   # pre-trigger frame ring
+        self._gv_hist: List[float] = []        # margin smoothing window
+        self._gv_speech = False
         # -progout: fire result_pass1_interim every prog_frames frames
         # (reference output_stdout.c progout callback, -proginterval)
         self.progout = progout
@@ -62,6 +71,11 @@ class StreamSession:
         self.frontend = StreamingFrontend(engine.fe_cfg)
         dnn = engine.dnn_scorer is not None
         self.splice = engine.dnn_params.context_len if dnn else 1
+
+        # absolute stream-frame ranges of finished segments (exact for
+        # the no-VAD / spsegment paths; used by rewind parity tests)
+        self.segment_ranges: List[tuple] = []
+        self._abs0 = 0
 
         self._chunk_fn = jax.jit(partial(
             p1.pass1_stream_chunk, engine.dev_net, engine.ngram_dev,
@@ -105,9 +119,12 @@ class StreamSession:
         completed inside this call."""
         results = []
         if self.detector is None:
+            frames = self.frontend.process(samples)
+            if self.gmm_vad:
+                return self._feed_gmm_vad(frames)
             if not self._in_segment:
                 self._in_segment = True
-            self._feed_frames(self.frontend.process(samples))
+            self._feed_frames(frames)
             if self.spsegment:
                 r = self._check_sp_segment()
                 if r is not None:
@@ -124,6 +141,40 @@ class StreamSession:
                 r = self._finish_segment()
                 if r is not None:
                     results.append(r)
+        return results
+
+    def _feed_gmm_vad(self, frames: np.ndarray) -> List:
+        """GMM-VAD frame gate (reference gmm.c GMM_VAD block): frames
+        pass to the decoder only while the smoothed voice-vs-noise
+        margin is up-triggered; a ring of gmm_margin pre-trigger frames
+        is replayed at speech onset (the reference's backstep margin)."""
+        results = []
+        gf = self.engine.gmm_frontend
+        if frames.shape[0] == 0:
+            return results
+        margins = gf.frame_margins(frames)
+        for i in range(frames.shape[0]):
+            self._gv_hist.append(float(margins[i]))
+            if len(self._gv_hist) > 5:
+                self._gv_hist.pop(0)
+            avg = sum(self._gv_hist) / len(self._gv_hist)
+            if not self._gv_speech:
+                self._gv_ring.append(frames[i])
+                if len(self._gv_ring) > self.gmm_margin:
+                    self._gv_ring.pop(0)
+                if avg > gf.vad_up:
+                    self._gv_speech = True
+                    self._in_segment = True
+                    self.engine.callbacks.exec("event_speech_start")
+                    self._feed_frames(np.asarray(self._gv_ring))
+                    self._gv_ring = []
+            else:
+                self._feed_frames(frames[i:i + 1])
+                if avg < gf.vad_down:
+                    self._gv_speech = False
+                    r = self._finish_segment()
+                    if r is not None:
+                        results.append(r)
         return results
 
     def _check_sp_segment(self):
@@ -152,14 +203,19 @@ class StreamSession:
             for row in self._atoms[: n - run])
         if not had_speech:
             return None
-        # finalise the current segment; remaining feature frames past
-        # the silence carry into the next segment (the reference's
-        # rest_param carry-over, recogmain.c:1415-1431)
-        rest = self._feat_pending[self._nframes:]
-        r = self._finish_segment()
+        # finalise the current segment at the trigger point, then
+        # REWIND: the next segment re-decodes from the silence-run
+        # onset (the reference's decoder-VAD rewind,
+        # spsegment_restart_mfccs spsegment.c:912 + rest_param
+        # carry-over recogmain.c:1415-1431) so the trigger-back region
+        # is decoded under the new segment's own context
+        onset = max(0, self._nframes - run)
+        carry = self._feat_pending[onset:]
+        r = self._finish_segment(flush=False)
+        self._abs0 += onset
         self._in_segment = True
-        if rest:
-            self._feed_frames(np.asarray(rest))
+        if carry:
+            self._feed_frames(np.asarray(carry))
         return r
 
     def close(self) -> List:
@@ -228,12 +284,17 @@ class StreamSession:
                     lambda a: a[i], host))
         self._emit_progout()
 
-    def _finish_segment(self):
-        self._feed_frames(self.frontend.finalize(), final=True)
+    def _finish_segment(self, flush: bool = True):
+        """flush=False ends the segment at the frames already decoded
+        (mid-stream decoder-VAD cut: the front-end keeps running, the
+        splice-margin tail is re-fed by the caller's rewind carry)."""
+        if flush:
+            self._feed_frames(self.frontend.finalize(), final=True)
         if self._state is None or self._nframes < 2:
             self._reset_segment()
             self._in_segment = False
             return None
+        self.segment_ranges.append((self._abs0, self._abs0 + self._nframes))
         final_atoms = jax.tree_util.tree_map(
             np.asarray,
             jax.jit(partial(p1.pass1_stream_finalize, self.engine.dev_net,

@@ -442,7 +442,14 @@ def scenario_flagship(ref_bin, workdir, n_utts, audio_sec=10.0,
     T = int(audio_sec * 100)   # 10ms frames
     rng = np.random.default_rng(seed + 9)
     mfc_files = []
-    batch = rng.standard_normal((n_utts, T, dim)).astype(np.float32)
+    # in the buffered mfcfile+DNN path the reference does NOT splice:
+    # dnn_calc_outprob (calc_dnn.c:800) memcpys inputnodenum floats
+    # straight from the param row, so rows must already be
+    # dim*context wide (splicing lives only in the realtime path,
+    # realtime-1stpass.c:447 splice_mfcc); we feed both decoders the
+    # identical spliced rows
+    batch = rng.standard_normal((n_utts, T, dim * context)) \
+        .astype(np.float32)
     for u in range(n_utts):
         mfc = os.path.join(workdir, f"utt{u:03d}.mfc")
         write_htk_param(mfc, HTKParam(data=batch[u], samp_period=100000,

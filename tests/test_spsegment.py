@@ -64,3 +64,57 @@ def test_spsegment_splits_on_long_silence():
     ab_seg = next(i for i, s in enumerate(seg_words) if "AB" in s)
     ba_seg = next(i for i, s in enumerate(seg_words) if "BA" in s)
     assert ab_seg != ba_seg
+
+
+def test_spsegment_rewind_matches_buffered():
+    """Decoder-VAD rewind parity (reference spsegment.c:770-912): the
+    streaming spsegment decode re-decodes from the silence-run onset,
+    so each segment's transcript must equal the buffered decode of the
+    exact same absolute frame range."""
+    import jax.numpy as jnp
+
+    hmm = parse_hmmdefs_text(make_hmmdefs_text(
+        phones=("a", "b", "c", "sil"), dim=4, n_states=3, n_mix=2))
+    voca = Vocabulary()
+    for line in make_dict_text().splitlines():
+        parse_dict_line(line, voca)
+    lm = parse_arpa(io.StringIO(make_arpa_text()))
+    eng = Engine(hmm, voca, lm, search=SearchConfig(lm_weight=2.0))
+
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    rng = np.random.default_rng(7)
+
+    def frames_of(words, min_frames=0):
+        pids = [hmm.phone_index[p] for w in words
+                for p in voca.phones[name2id[w]]]
+        out, _ = sample_states_and_frames(hmm, pids, rng)
+        while out.shape[0] < min_frames:
+            more, _ = sample_states_and_frames(hmm, pids, rng)
+            out = np.concatenate([out, more])
+        return out
+
+    part1 = frames_of(["<s>", "ABC", "</s>"])
+    silence = frames_of(["<s>"] * 6, min_frames=40)
+    part2 = frames_of(["<s>", "CA", "</s>"])
+    frames = np.concatenate([part1, silence, part2]).astype(np.float32)
+
+    sess = StreamSession(eng, use_vad=False, block_frames=8,
+                         spsegment=True, sp_frames=12)
+    results = []
+    for ofs in range(0, frames.shape[0], 8):
+        sess._feed_frames(frames[ofs: ofs + 8])
+        r = sess._check_sp_segment()
+        if r is not None:
+            results.append(r)
+    results.extend(sess.close())
+
+    assert len(results) >= 2
+    assert len(sess.segment_ranges) == len(results)
+    # the rewind re-decoded the silence run: segment 2 starts BEFORE
+    # segment 1 ended
+    (a0, a1), (b0, b1) = sess.segment_ranges[0], sess.segment_ranges[1]
+    assert b0 < a1, "no rewind: segment 2 started after segment 1 end"
+    for r, (f0, f1) in zip(results, sess.segment_ranges):
+        buf = eng.decode_features(jnp.asarray(frames[f0:f1][None]),
+                                  jnp.asarray([f1 - f0]))[0]
+        assert r.words == buf.words, (r.words, buf.words)
