@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Benchmark: batched DNN-HMM dictation decode throughput on one chip.
 
-Prints one JSON line: audio-seconds decoded per wall second (xRT).
-Baseline = 1.0x real time, the reference's own headline claim
-("real-time decoding on various computers and devices", README.md:13 —
-it publishes no numeric table, BASELINE.md).  Target from BASELINE.md:
->100x real time per TPU chip on the flagship DNN-HMM configuration.
+Prints one JSON line: END-TO-END audio-seconds decoded per wall second
+(xRT) — features in, final pass-2 N-best out, including the host A*
+rounds and result assembly (pass-1-only xRT is in detail).  Inputs are
+decodable generative utterances (synth.trained_dnn_weights prototypes),
+so the second pass converges like it does on real speech instead of
+burning its pop budget on noise.
+
+vs_baseline compares against the reference C decoder's xRT measured
+locally on this host via tools/refparity --scale flagship (BASELINE.md
+records the measurement; the reference publishes no numbers).
 
 Config mirrors the ENVR-v5.4 Quick Run shape: 40ch FBANK_D_A front-end,
 11-frame splice, 5x2048 sigmoid DNN, 2004 senones, 5k-word 2-gram.
@@ -17,53 +22,98 @@ import time
 
 import numpy as np
 
+#: reference julius 4.6 xRT measured on this host (AVX/FMA + OpenMP,
+#: 2 cores) on the same flagship config + generative inputs
+#: (tools/refparity --scale flagship; see BASELINE.md) — updated when
+#: refparity is re-run
+REF_XRT = 4.1
+
 
 def main():
     import jax
-    from julius_tpu.tools.synth import flagship_engine
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_bench_cache")
+    except Exception:
+        pass
+    import jax.numpy as jnp
+    from julius_tpu.tools.synth import flagship_engine, make_flagship_utts
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     audio_sec = 10.0
     sr = 16000
     L = int(audio_sec * sr)
 
-    eng = flagship_engine(n_words=5000, n_phones=668,
-                          hidden=2048, n_layers=5)
+    eng, protos = flagship_engine(n_words=5000, n_phones=668,
+                                  hidden=2048, n_layers=5, trained=True)
     rng = np.random.default_rng(0)
-    # inputs resident on device: the benchmark measures decode compute,
-    # not the host link (the axon tunnel adds ~1 s/batch of artificial
-    # PCIe-replacement latency that no production deployment would have)
-    import jax.numpy as jnp
+
+    # ---- pass-1-only path: waveform in, trellis out (front-end + DNN
+    # + beam kernel, all on device).  Inputs resident on device: this
+    # measures decode compute, not the host link (the axon tunnel adds
+    # ~1 s/batch of artificial PCIe-replacement latency that no
+    # production deployment would have).
     wave = jax.device_put(jnp.asarray(
         (rng.standard_normal((batch, L)) * 2000).astype(np.float32)))
     lengths = jax.device_put(jnp.full(batch, L, dtype=jnp.int32))
     jax.block_until_ready(wave)
 
-    # warmup / compile
     t0 = time.perf_counter()
-    trellis, nfr = eng._decode_jit(wave, lengths)
+    trellis, nfr, out_ext = eng._decode_jit(wave, lengths)
     jax.block_until_ready(trellis)
     compile_s = time.perf_counter() - t0
 
-    # steady state
     n_iter = 3
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        trellis, nfr = eng._decode_jit(wave, lengths)
+        trellis, nfr, out_ext = eng._decode_jit(wave, lengths)
     jax.block_until_ready(trellis)
-    wall = (time.perf_counter() - t0) / n_iter
+    p1_wall = (time.perf_counter() - t0) / n_iter
+    p1_xrt = batch * audio_sec / p1_wall
+    del trellis, nfr, out_ext, wave, lengths
 
-    xrt = batch * audio_sec / wall
+    # ---- end-to-end path: decodable features in, final N-best out
+    # (outprob + pass-1 + pass-2 acoustic-rescan A* + assembly)
+    truths, windows, lens_list = make_flagship_utts(
+        eng.hmm, eng.voca, eng.lm, protos, batch, 120, 11,
+        min_words=6, max_words=12, seed=1)
+    T = max(lens_list)
+    feats = np.zeros((batch, T, 120 * 11), np.float32)
+    for u, win in enumerate(windows):
+        feats[u, :win.shape[0]] = win
+    feats = jax.device_put(jnp.asarray(feats))
+    lens = jax.device_put(jnp.asarray(lens_list, dtype=jnp.int32))
+    jax.block_until_ready(feats)
+    audio_e2e = sum(lens_list) / 100.0
+
+    t0 = time.perf_counter()
+    res = eng.decode_features(feats, lens)
+    e2e_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = eng.decode_features(feats, lens)
+    e2e_wall = time.perf_counter() - t0
+    e2e_xrt = audio_e2e / e2e_wall
+
+    # sanity: the bench must actually be decoding (not timing failures)
+    correct = sum(
+        1 for u in range(batch)
+        if res[u].valid and [t for t in res[u].texts if t]
+        == [w for w in truths[u] if w not in ("<s>", "</s>")])
+
     print(json.dumps({
-        "metric": "decode_throughput",
-        "value": round(xrt, 2),
-        "unit": "audio_seconds_per_second (xRT, 1 chip)",
-        "vs_baseline": round(xrt / 1.0, 2),
+        "metric": "decode_throughput_e2e",
+        "value": round(e2e_xrt, 2),
+        "unit": "audio_seconds_per_second (xRT, 1 chip, end-to-end)",
+        "vs_baseline": round(e2e_xrt / REF_XRT, 2),
         "detail": {
             "batch": batch,
-            "audio_sec_each": audio_sec,
-            "wall_s_per_batch": round(wall, 4),
-            "compile_s": round(compile_s, 1),
+            "pass1_only_xrt": round(p1_xrt, 2),
+            "pass1_wall_s_per_batch": round(p1_wall, 4),
+            "e2e_wall_s_per_batch": round(e2e_wall, 4),
+            "e2e_audio_s": round(audio_e2e, 1),
+            "exact_transcripts": f"{correct}/{batch}",
+            "compile_s": round(compile_s + e2e_compile_s, 1),
+            "ref_xrt_baseline": REF_XRT,
             "backend": jax.default_backend(),
         },
     }))

@@ -188,7 +188,8 @@ class Engine:
                 self.gms = build_gms(hmm, gshmm, self.am_cfg.gsnum)
 
         self._decode_jit = jax.jit(self._decode_device)
-        self._chain_cache = None    # lazy search.scan.ChainCache (pass-2)
+        self._chain_cache = None    # lazy search.scan.ChainCache (tests)
+        self._device_chains = None  # lazy search.scan.DeviceChainTables
 
     # -- setup helpers ----------------------------------------------------
 
@@ -239,15 +240,20 @@ class Engine:
             if self._pseudo is not None:
                 mem, seg, nq = self._pseudo
                 rows = jnp.concatenate(
-                    [rows, aggregate_pseudo(mem, seg, nq, rows)], axis=-1)
+                    [rows, aggregate_pseudo(mem, seg, nq, rows,
+                                            self.am_cfg.iwcd_scheme,
+                                            self.am_cfg.iwcd_nbest)],
+                    axis=-1)
             return rows
         topk = (self.am_cfg.gprune_num
                 if self.am_cfg.gprune == "topk" else 0)
+        iw = (self.am_cfg.iwcd_scheme, self.am_cfg.iwcd_nbest)
         if self.gms is not None:
             from julius_tpu.ops.gms import gms_senone_scores
             return gms_senone_scores(self.gmm_tables, self.gms, feats,
-                                     topk=topk)
-        return senone_scores(self.gmm_tables, feats, topk=topk)
+                                     topk=topk, iwcd=iw)
+        return senone_scores(self.gmm_tables, feats, topk=topk,
+                             iwcd_scheme=iw[0], iwcd_nbest=iw[1])
 
     def _features(self, wave: jnp.ndarray, lengths: jnp.ndarray):
         feats, mask = fe.extract_features(
@@ -340,7 +346,9 @@ class Engine:
             if self._pseudo is not None:
                 mem, seg, nq = self._pseudo
                 return jnp.concatenate(
-                    [r, aggregate_pseudo(mem, seg, nq, r)], axis=-1)
+                    [r, aggregate_pseudo(mem, seg, nq, r,
+                                         self.am_cfg.iwcd_scheme,
+                                         self.am_cfg.iwcd_nbest)], axis=-1)
             return r
 
         out_ext = jax.jit(extend)(rows)
@@ -405,6 +413,15 @@ class Engine:
             self._chain_cache = ChainCache(self.net)
         return self._chain_cache
 
+    @property
+    def device_chains(self):
+        """Whole-vocabulary scan_word chain tables resident on device
+        (built once; see scan.DeviceChainTables)."""
+        if self._device_chains is None:
+            from julius_tpu.search.scan import DeviceChainTables
+            self._device_chains = DeviceChainTables(self.net)
+        return self._device_chains
+
     def _rescan_strategy(self):
         if self.lmtype == "grammar":
             return p2r.DfaStrategy(self.dfa, self.word_cat, self.search_cfg)
@@ -441,7 +458,7 @@ class Engine:
             elif want_p2:
                 out[b] = self._pass2_result(tb, int(nfr[b]))
         if rescan and any(l is not None for l in lattices):
-            disp = p2r.ScanDispatcher(self.chain_cache, out_ext,
+            disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                       self.search_cfg.scan_beam)
             nbest_lists = p2r.rescan_nbest_batch(
                 lattices, disp, self._rescan_strategy(), self.search_cfg)
@@ -504,7 +521,7 @@ class Engine:
         search (pass2_rescan); otherwise the frozen-score search."""
         lattice = p2.TrellisLattice(tb, n_frames)
         if out_ext is not None and self._rescan_ok():
-            disp = p2r.ScanDispatcher(self.chain_cache, out_ext,
+            disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                       self.search_cfg.scan_beam)
             nbest = p2r.rescan_nbest_batch(
                 [lattice], disp, self._rescan_strategy(),

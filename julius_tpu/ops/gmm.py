@@ -102,6 +102,8 @@ def senone_scores(
     tables: GMMScorerTables,
     x: jnp.ndarray,
     topk: int = 0,
+    iwcd_scheme: str = "best",
+    iwcd_nbest: int = 3,
 ) -> jnp.ndarray:
     """[..., D] frames -> [..., S(+Q')] senone log output probabilities.
 
@@ -119,26 +121,62 @@ def senone_scores(
     out = jnp.maximum(out, LOG_ZERO)
     if tables.n_pseudo:
         out = jnp.concatenate(
-            [out, pseudo_scores(tables, out)], axis=-1)
+            [out, pseudo_scores(tables, out, iwcd_scheme, iwcd_nbest)],
+            axis=-1)
     return out
 
 
 def aggregate_pseudo(members: jnp.ndarray, segids: jnp.ndarray,
-                     n_pseudo: int, senone: jnp.ndarray) -> jnp.ndarray:
-    """Aggregate senone scores into pseudo-set-state scores by max
-    (reference outprob_cd best/max mode, libsent/src/phmm/outprob.c:287-420).
+                     n_pseudo: int, senone: jnp.ndarray,
+                     scheme: str = "best", nbest: int = 3) -> jnp.ndarray:
+    """Aggregate senone scores into pseudo-set-state scores (reference
+    outprob_cd, libsent/src/phmm/outprob.c:287-420; scheme selected by
+    -iwcd1, default IWCD_NBEST init_phmm.c:74):
+
+      max  — max over member states (outprob_cd_max)
+      avg  — arithmetic mean of finite member LOG probs (outprob_cd_avg)
+      best — arithmetic mean of the top-nbest LOG probs
+             (outprob_cd_nbest; nbest=1 == max)
 
     senone: [..., S] -> [..., Q'] where Q' = n pseudo set-states."""
     gathered = senone[..., members]                          # [..., L]
     flat = gathered.reshape(-1, gathered.shape[-1])
+    neg_half = LOG_ZERO / 2
 
-    def seg(row):
-        return jax.ops.segment_max(row, segids, num_segments=n_pseudo)
+    if scheme == "avg":
+        def seg(row):
+            ok = row > neg_half
+            s = jax.ops.segment_sum(jnp.where(ok, row, 0.0), segids,
+                                    num_segments=n_pseudo)
+            c = jax.ops.segment_sum(ok.astype(row.dtype), segids,
+                                    num_segments=n_pseudo)
+            return jnp.where(c > 0, s / jnp.maximum(c, 1.0), LOG_ZERO)
+    elif scheme == "best" and nbest > 1:
+        def seg(row):
+            # peel-max: nbest rounds of segment_max, removing each
+            # round's winners (exact-tie duplicates collapse — measure
+            # zero for continuous scores)
+            remaining = row
+            s = jnp.zeros(n_pseudo, row.dtype)
+            c = jnp.zeros(n_pseudo, row.dtype)
+            for _ in range(nbest):
+                m = jax.ops.segment_max(remaining, segids,
+                                        num_segments=n_pseudo)
+                has = m > neg_half
+                s = s + jnp.where(has, m, 0.0)
+                c = c + has.astype(row.dtype)
+                remaining = jnp.where(remaining >= m[segids], LOG_ZERO,
+                                      remaining)
+            return jnp.where(c > 0, s / jnp.maximum(c, 1.0), LOG_ZERO)
+    else:   # "max" (and best-1)
+        def seg(row):
+            return jax.ops.segment_max(row, segids, num_segments=n_pseudo)
 
     out = jax.vmap(seg)(flat)
     return out.reshape(*senone.shape[:-1], n_pseudo)
 
 
-def pseudo_scores(tables: GMMScorerTables, senone: jnp.ndarray) -> jnp.ndarray:
+def pseudo_scores(tables: GMMScorerTables, senone: jnp.ndarray,
+                  scheme: str = "best", nbest: int = 3) -> jnp.ndarray:
     return aggregate_pseudo(tables.pseudo_members, tables.pseudo_segids,
-                            tables.n_pseudo, senone)
+                            tables.n_pseudo, senone, scheme, nbest)

@@ -89,6 +89,7 @@ def gms_senone_scores(
     gms: GMSTables,
     x: jnp.ndarray,
     topk: int = 0,
+    iwcd=("best", 3),
 ) -> jnp.ndarray:
     """[..., D] frames -> [..., S(+Q')] senone scores with GMS mixing.
 
@@ -115,5 +116,5 @@ def gms_senone_scores(
     mixed = jnp.where(use_full, full, fallback)
     if tables.n_pseudo:
         mixed = jnp.concatenate(
-            [mixed, pseudo_scores(tables, mixed)], axis=-1)
+            [mixed, pseudo_scores(tables, mixed, *iwcd)], axis=-1)
     return mixed

@@ -283,8 +283,12 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
                     axis=-1)                                 # [Ex, 6]
     oh1 = (sel[:, None] ==
            jnp.arange(Ex, dtype=sel.dtype)[None, :])         # [k, Ex]
-    p1_ = jnp.matmul(oh1.astype(jnp.bfloat16), rec,
-                     preferred_element_type=f32)             # [k, 6]
+    # HIGHEST precision: the payload contains integer ids (word ids up
+    # to V, trellis backpointers T*M) that a single-pass bf16 MXU
+    # contraction would round to 8 mantissa bits — decode word ids came
+    # out off-by-a-few at 5k vocab on real TPU before this
+    p1_ = jnp.matmul(oh1.astype(f32), rec,
+                     precision=jax.lax.Precision.HIGHEST)    # [k, 6]
     prev_k = p1_[:, 0].astype(jnp.int32)
     ectx_k = p1_[:, 1].astype(jnp.int32)
     w_k = p1_[:, 2].astype(jnp.int32)
@@ -316,8 +320,8 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
                       w_k.astype(f32)], axis=-1)             # [k, 4]
     oh2 = (order[:, None] ==
            jnp.arange(k, dtype=order.dtype)[None, :])        # [m, k]
-    p2_ = jnp.matmul(oh2.astype(jnp.bfloat16), rec2,
-                     preferred_element_type=f32)             # [m, 4]
+    p2_ = jnp.matmul(oh2.astype(f32), rec2,
+                     precision=jax.lax.Precision.HIGHEST)    # [m, 4]
     lm_sel = p2_[:, 0]
     prev_sel = p2_[:, 1].astype(jnp.int32)
     ectx = p2_[:, 2].astype(jnp.int32)

@@ -11,13 +11,17 @@ hypothesis length (`search_bestfirst_main.c:847` wb_ok), and `-sb`
 
 TPU shape: one A* round pops the best few hypotheses of EVERY utterance
 in the batch, gathers all their word extensions into one batched
-`scan.scan_words` dispatch (K chains x T frames in a single lax.scan),
-then pushes the rescored hypotheses back on the per-utterance stacks —
-the stack logic stays host-side (it is tiny), the per-frame Viterbi work
-rides the device.  The pass-1 trellis supplies next-word candidates
-(atoms whose begin frame falls within +-lookup_range of the boundary,
-reference `ngram_decode.c:566` ngram_nextwords) and the A* completion
-estimate (best pass-1 score ending at the anchor frame).
+`scan.scan_words_store` dispatch (K chains x T frames in a single
+lax.scan), then pushes the rescored hypotheses back on the per-utterance
+stacks.  The stack logic stays host-side (it is tiny); everything sized
+O(T) stays device-resident: chain transition tables live on device for
+the whole vocabulary (scan.DeviceChainTables), per-hypothesis g/beg
+vectors live in a device row store seeded on device from their parents'
+rows, and only the [K, A] anchor-frame scores cross the host link each
+round.  The pass-1 trellis supplies next-word candidates (atoms whose
+begin frame falls within +-lookup_range of the boundary, reference
+`ngram_decode.c:566` ngram_nextwords) and the A* completion estimate
+(an AM-only backward DP over the trellis).
 """
 
 from __future__ import annotations
@@ -27,37 +31,83 @@ from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from julius_tpu.config import SearchConfig
 from julius_tpu.search.pass2 import NBestResult, TrellisLattice
-from julius_tpu.search.scan import ChainCache, bucket_k, scan_words
+from julius_tpu.search.scan import DeviceChainTables, scan_words_store
 from julius_tpu.utils.logadd import LOG_ZERO
 
 NEG_HALF = LOG_ZERO / 2
 
 #: hypotheses popped per utterance per round (device-dispatch batching
-#: knob, not a search parameter: results are identical for any value)
-POPS_PER_ROUND = 4
+#: knob: larger = fewer, bigger rounds; the A* is stale-pop tolerant)
+POPS_PER_ROUND = 8
 #: cap on distinct next words considered per expansion
 MAX_NEXT_WORDS = 48
 #: cap on boundary-anchor variants pushed per rescored hypothesis (the
 #: best few by priority; bounds stack flooding so distinct alternative
 #: sequences survive the stack trim)
 MAX_ANCHORS = 8
+#: anchor-frame slots per scan request (candidate word-end frames whose
+#: g values return to the host; union across sibling expansions)
+A_CAND = 16
 #: failsafe on total scans per utterance
 MAX_SCANS = 20000
+#: K buckets for one store dispatch (pads up; keeps jit cache small)
+K_BUCKETS = (64, 512, 2048)
+
+
+def _bucket_k(k: int) -> int:
+    for b in K_BUCKETS:
+        if k <= b:
+            return b
+    return -(-k // K_BUCKETS[-1]) * K_BUCKETS[-1]
+
+
+class _RowPool:
+    """Host-side free-list over the device row store (row 0 = scratch
+    for padded requests; rows are reclaimed by RowHandle GC)."""
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self.free = list(range(cap - 1, 0, -1))
+
+    def alloc(self) -> int:
+        return self.free.pop()
+
+    def release(self, row: int) -> None:
+        self.free.append(row)
+
+
+class RowHandle:
+    """One allocated g/beg row; sibling hypotheses share a handle, GC
+    returns the row to the pool when the last reference dies."""
+
+    __slots__ = ("row", "pool")
+
+    def __init__(self, row: int, pool: _RowPool):
+        self.row = row
+        self.pool = pool
+
+    def __del__(self):
+        try:
+            self.pool.release(self.row)
+        except Exception:
+            pass
 
 
 @dataclass
 class RHyp:
-    """A sentence prefix with its boundary-resolving score vector."""
+    """A sentence prefix anchored at one candidate boundary frame."""
 
     prio: float                    # g[anchor] + pass-1 completion estimate
     atom: int                      # anchor flat atom id (t*M + m)
+    gval: float                    # g[anchor] (exact score at the anchor)
     words: Tuple[int, ...]
-    g: np.ndarray                  # [T] f32, score per candidate end frame
-    begs: Tuple[np.ndarray, ...]   # [T] int32 entry frame per end frame
+    rows: Tuple[RowHandle, ...]    # per-word device g/beg rows (last =
+    #                                this hypothesis's own scan result)
     lm_sum: float
     state: object = None           # DFA reverse-NFA state set (grammar)
 
@@ -146,62 +196,107 @@ class DfaStrategy:
         return any(self.dfa.initial[s] for s in state)
 
 
-class ScanDispatcher:
-    """Bucketed device dispatch of one round's word extensions."""
+@dataclass
+class _Req:
+    """One word-extension scan request (shared by sibling anchors)."""
 
-    def __init__(self, cache: ChainCache, out_ext, scan_beam: float = 0.0):
-        self.cache = cache
+    b: int
+    w: int
+    parent: Optional[RowHandle]
+    lm_add: float
+    anchors: List[int] = field(default_factory=list)
+    _aset: set = field(default_factory=set)
+
+    def add_anchors(self, ts) -> None:
+        for t in ts:
+            if t not in self._aset and len(self.anchors) < A_CAND:
+                self._aset.add(t)
+                self.anchors.append(t)
+
+
+class ScanDispatcher:
+    """Device-resident dispatch of A* rounds: chain tables + per-
+    hypothesis g/beg rows stay in HBM; per round the host uploads K
+    (word, parent-row, lm, anchor-frames) tuples and downloads [K, A]
+    anchor scores."""
+
+    def __init__(self, tabs: DeviceChainTables, out_ext,
+                 scan_beam: float = 0.0, cap: int = 2048):
+        self.tabs = tabs
         self.out_ext = out_ext                  # [B, T, R] device array
         self.T = int(out_ext.shape[1])
-        self.scan_beam = float(scan_beam)
         self.n_scans = 0
-        self._jit = jax.jit(scan_words)
+        self.pool = _RowPool(cap)
+        self.g_store = jnp.full((cap, self.T), LOG_ZERO, jnp.float32)
+        self.beg_store = jnp.zeros((cap, self.T), jnp.int32)
+        from functools import partial
+        self._fn = jax.jit(partial(scan_words_store,
+                                   scan_beam=float(scan_beam)),
+                           donate_argnums=(0, 1))
 
-    def seed_initial(self, lm_add: float) -> np.ndarray:
-        s = np.full(self.T, LOG_ZERO, np.float32)
-        s[0] = lm_add
-        return s
+    def _grow(self) -> None:
+        cap = self.g_store.shape[0]
+        self.g_store = jnp.concatenate(
+            [self.g_store,
+             jnp.full((cap, self.T), LOG_ZERO, jnp.float32)])
+        self.beg_store = jnp.concatenate(
+            [self.beg_store, jnp.zeros((cap, self.T), jnp.int32)])
+        self.pool.free.extend(range(2 * cap - 1, cap - 1, -1))
+        self.pool.cap = 2 * cap
 
-    def seed_extend(self, g: np.ndarray, lm_add: float) -> np.ndarray:
-        s = np.empty(self.T, np.float32)
-        s[0] = LOG_ZERO
-        s[1:] = g[:-1] + lm_add
-        if self.scan_beam > 0.0:
-            m = s.max()
-            if m > NEG_HALF:
-                s = np.where(s >= m - self.scan_beam, s, LOG_ZERO)
-        return s
-
-    def run(self, reqs: List[Tuple[int, int, np.ndarray]]):
-        """reqs: [(utt_index, word_id, seed[T])] -> (g [K,T], beg [K,T])."""
-        out_g, out_b = [], []
-        CH = 1024
-        for ofs in range(0, len(reqs), CH):
-            chunk = reqs[ofs:ofs + CH]
+    def run(self, reqs: List[_Req]):
+        """Returns (handles [len(reqs)], ganch [len(reqs), A_CAND])."""
+        handles: List[RowHandle] = []
+        ganchs = []
+        dead_w = self.tabs.n_words          # pad chain scores LOG_ZERO
+        for ofs in range(0, len(reqs), K_BUCKETS[-1]):
+            chunk = reqs[ofs:ofs + K_BUCKETS[-1]]
             K = len(chunk)
-            Kb = bucket_k(K)
-            wids = [r[1] for r in chunk] + [-1] * (Kb - K)
-            loc, ent, ext, sidx = self.cache.rows(wids)
-            seed = np.full((Kb, self.T), LOG_ZERO, np.float32)
+            Kb = _bucket_k(K)
+            wids = np.full(Kb, dead_w, np.int32)
+            parents = np.full(Kb, -1, np.int32)
+            lm = np.zeros(Kb, np.float32)
             bidx = np.zeros(Kb, np.int32)
-            for i, (b, _w, s) in enumerate(chunk):
-                seed[i] = s
-                bidx[i] = b
-            g, beg = self._jit(
-                loc, ent, ext, sidx, seed, bidx, self.out_ext)
-            g = np.asarray(g)
-            beg = np.asarray(beg)
-            out_g.append(g[:K])
-            out_b.append(beg[:K])
+            rows = np.zeros(Kb, np.int32)      # pads write scratch row 0
+            anchors = np.zeros((Kb, A_CAND), np.int32)
+            chunk_handles = []
+            for i, r in enumerate(chunk):
+                wids[i] = r.w
+                parents[i] = r.parent.row if r.parent is not None else -1
+                lm[i] = r.lm_add
+                bidx[i] = r.b
+                if not self.pool.free:
+                    self._grow()
+                h = RowHandle(self.pool.alloc(), self.pool)
+                chunk_handles.append(h)
+                rows[i] = h.row
+                if r.anchors:
+                    anchors[i, :len(r.anchors)] = r.anchors
+            self.g_store, self.beg_store, ganch = self._fn(
+                self.g_store, self.beg_store,
+                self.tabs.loc, self.tabs.ent, self.tabs.ext,
+                self.tabs.sidx,
+                jnp.asarray(wids), jnp.asarray(parents), jnp.asarray(lm),
+                jnp.asarray(bidx), jnp.asarray(rows),
+                jnp.asarray(anchors), self.out_ext)
+            ganchs.append(np.asarray(ganch[:K]))
+            handles.extend(chunk_handles)
             self.n_scans += K
-        return np.concatenate(out_g), np.concatenate(out_b)
+        return handles, (np.concatenate(ganchs) if ganchs
+                         else np.zeros((0, A_CAND), np.float32))
+
+    def fetch_beg(self, row_ids: List[int]) -> np.ndarray:
+        """[n, T] beg rows for final backtrace (one gather dispatch)."""
+        if not row_ids:
+            return np.zeros((0, self.T), np.int32)
+        return np.asarray(self.beg_store[jnp.asarray(row_ids)])
 
 
 @dataclass
 class _UttState:
     lattice: TrellisLattice
     stack: List[RHyp] = field(default_factory=list)
-    results: List[NBestResult] = field(default_factory=list)
+    results: List[Tuple[RHyp, float]] = field(default_factory=list)
     seen: Dict = field(default_factory=dict)
     # word envelope: distinct word sequences admitted per length
     # (reference wb_ok, search_bestfirst_main.c:847; counting sequences
@@ -262,6 +357,30 @@ def _cap_words(lattice: TrellisLattice, by_word: Dict, limit: int):
     return dict(scored[:limit])
 
 
+def _anchor_candidates(lattice: TrellisLattice,
+                       atom_list: List[Tuple[int, int]],
+                       can_final: bool):
+    """Candidate boundary frames for one (hypothesis, word) extension:
+    distinct atom end frames ranked by trellis score (the host picks
+    candidates BEFORE seeing g; the true g+rest ranking trims them to
+    MAX_ANCHORS after the scan returns).  can_final always includes the
+    final frame — the completion anchor."""
+    best_at: Dict[int, Tuple[float, int]] = {}
+    for (t, m) in atom_list:
+        s = float(lattice.score[t, m])
+        cur = best_at.get(t)
+        if cur is None or s > cur[0]:
+            best_at[t] = (s, m)
+    ts = sorted(best_at, key=lambda t: -best_at[t][0])[:A_CAND]
+    t2m = {t: best_at[t][1] for t in ts}
+    if can_final and lattice.T - 1 not in t2m:
+        if len(ts) >= A_CAND:
+            ts = ts[:-1]
+        ts.append(lattice.T - 1)
+        t2m[lattice.T - 1] = 0
+    return ts, t2m
+
+
 def rescan_nbest_batch(
     lattices: List[Optional[TrellisLattice]],
     dispatcher: ScanDispatcher,
@@ -272,11 +391,11 @@ def rescan_nbest_batch(
 
     lattices[b] = None skips utterance b.  Returns per-utterance N-best
     lists (possibly empty = fall back to pass 1)."""
-    T_dev = dispatcher.T
     lr = max(0, int(cfg.lookup_range))
     utts: List[Optional[_UttState]] = []
-    init_reqs: List[Tuple[int, int, np.ndarray]] = []
-    init_meta: List[Tuple[int, int, List[Tuple[int, int]], float, object]] = []
+    reqs: List[_Req] = []
+    req_of: Dict[Tuple[int, int, int], int] = {}
+    metas = []   # (b, parent RHyp|None, w, anchor_ts, t2m, lm, state, ri)
     for b, lat in enumerate(lattices):
         if lat is None or lat.T == 0:
             utts.append(None)
@@ -293,22 +412,29 @@ def rescan_nbest_batch(
             if state is None:
                 continue
             lm = strategy.lm_add((), w)
-            init_reqs.append((b, w, dispatcher.seed_initial(lm)))
-            init_meta.append((b, w, atom_list, lm, state))
-
-    if init_reqs:
-        g_all, beg_all = dispatcher.run(init_reqs)
-        for i, (b, w, atom_list, lm, state) in enumerate(init_meta):
-            _push_scored(utts[b], RHyp(0.0, 0, (w,), g_all[i],
-                                       (beg_all[i],), lm, state),
-                         atom_list, cfg,
-                         can_final=strategy.is_final(w, state))
+            can_fin = strategy.is_final(w, state)
+            ts, t2m = _anchor_candidates(lat, atom_list, can_fin)
+            ri = len(reqs)
+            reqs.append(_Req(b, w, None, lm))
+            reqs[ri].add_anchors(ts)
+            metas.append((b, None, w, ts, t2m, lm, state, ri))
 
     while True:
-        reqs: List[Tuple[int, int, np.ndarray]] = []
-        meta: List[Tuple[int, RHyp, int, List[Tuple[int, int]],
-                         float, object, int]] = []
-        req_of: Dict[Tuple[int, int, int], int] = {}
+        if reqs:
+            handles, ganch = dispatcher.run(reqs)
+            for (b, parent, w, ts, t2m, lm, state, ri) in metas:
+                req = reqs[ri]
+                gmap = dict(zip(req.anchors, ganch[ri]))
+                h = RHyp(
+                    prio=0.0, atom=0, gval=LOG_ZERO,
+                    words=(parent.words + (w,)) if parent else (w,),
+                    rows=(parent.rows + (handles[ri],)) if parent
+                    else (handles[ri],),
+                    lm_sum=(parent.lm_sum + lm) if parent else lm,
+                    state=state)
+                _push_scored(utts[b], h, ts, t2m, gmap, cfg)
+        reqs, metas = [], []
+        req_of = {}
         for b, st in enumerate(utts):
             if st is None or not st.active:
                 continue
@@ -326,14 +452,14 @@ def rescan_nbest_batch(
                 t, m = divmod(h.atom, lat.M)
                 if (t == lat.T - 1
                         and strategy.is_final(h.words[-1], h.state)
-                        and h.g[lat.T - 1] > NEG_HALF):
+                        and h.gval > NEG_HALF):
                     # completion: popped at its own final-frame anchor,
                     # so the A* order reflects the exact full score
                     # (reference ngram/dfa_acceptable); deduped by word
                     # sequence, not by the seen-class below
-                    if not any(tuple(r.word_ids) == h.words
-                               for r in st.results):
-                        st.results.append(_finalize(h, lat.T))
+                    if not any(r.words == h.words
+                               for (r, _) in st.results):
+                        st.results.append((h, h.gval))
                         if len(st.results) >= cfg.nbest:
                             st.active = False
                     continue
@@ -358,80 +484,58 @@ def rescan_nbest_batch(
                     if state is None:
                         continue
                     lm = strategy.lm_add(h.words, w)
-                    # sibling anchors share g; one scan serves them all
-                    rkey = (b, id(h.g), w)
+                    can_fin = strategy.is_final(w, state)
+                    ts, t2m = _anchor_candidates(lat, atom_list, can_fin)
+                    # sibling anchors share the parent's g row; one
+                    # scan serves them all (anchor frames are merged)
+                    rkey = (b, h.rows[-1].row, w)
                     ri = req_of.get(rkey)
                     if ri is None:
                         ri = len(reqs)
                         req_of[rkey] = ri
-                        reqs.append((b, w,
-                                     dispatcher.seed_extend(h.g, lm)))
-                    meta.append((b, h, w, atom_list, lm, state, ri))
+                        reqs.append(_Req(b, w, h.rows[-1], lm))
+                    reqs[ri].add_anchors(ts)
+                    metas.append((b, h, w, ts, t2m, lm, state, ri))
         if not reqs:
             # no expansions this round; stop only when nothing is left
             # to pop (a round can be all-final or all-dead-end pops)
             if not any(st is not None and st.active and st.stack
                        for st in utts):
                 break
-            continue
-        g_all, beg_all = dispatcher.run(reqs)
-        for (b, h, w, atom_list, lm, state, ri) in meta:
-            _push_scored(utts[b],
-                         RHyp(0.0, 0, h.words + (w,), g_all[ri],
-                              h.begs + (beg_all[ri],), h.lm_sum + lm,
-                              state),
-                         atom_list, cfg,
-                         can_final=strategy.is_final(w, state))
 
-    out: List[List[NBestResult]] = []
-    for st in utts:
-        if st is None:
-            out.append([])
-        else:
-            st.results.sort(key=lambda r: -r.score)
-            out.append(st.results[:cfg.nbest])
-    return out
+    return _finalize_all(utts, dispatcher, cfg)
 
 
-def _push_scored(st: _UttState, h: RHyp,
-                 atom_list: List[Tuple[int, int]],
-                 cfg: SearchConfig, can_final: bool = False) -> None:
+def _push_scored(st: _UttState, h: RHyp, anchor_ts: List[int],
+                 t2m: Dict[int, int], gmap: Dict[int, float],
+                 cfg: SearchConfig) -> None:
     """Push one hypothesis per viable anchor frame (the reference keeps
     a NEXTWORD.tre trellis atom per expansion, ngram_decode.c:566): the
     anchor sets the pass-1 completion estimate AND centres the next
     lookup window, so collapsing anchors would lose continuations whose
     boundary differs from the best-scoring one.  All anchors share the
-    same g/beg arrays (one device scan).  can_final adds a final-frame
-    anchor (the completion candidate) even when no trellis atom of this
-    word ends there."""
+    same device g/beg row (one scan)."""
     lat = st.lattice
-    seen_t = set()
-    alist = list(atom_list)
-    if can_final and not any(t == lat.T - 1 for (t, m) in alist):
-        alist.append((lat.T - 1, 0))
     scored = []
-    for (t, m) in alist:
-        if t in seen_t:
-            continue
-        seen_t.add(t)
-        gt = float(h.g[t])
+    for t in anchor_ts:
+        gt = float(gmap.get(t, LOG_ZERO))
         if gt <= NEG_HALF:
             continue
         r = float(st.rest[t])
         if not np.isfinite(r):
             continue
-        scored.append((gt + r, t, m))
+        scored.append((gt + r, t))
     scored.sort(reverse=True)
     keep = scored[:MAX_ANCHORS]
-    if can_final:
-        fin = [s for s in scored if s[1] == lat.T - 1]
-        if fin and fin[0] not in keep:
-            keep = keep[:-1] + fin      # completion anchor always kept
-    for i, (prio, t, m) in enumerate(keep):
-        hh = RHyp(prio, t * lat.M + m, h.words, h.g, h.begs,
-                  h.lm_sum, h.state) if i else h
-        if not i:
-            hh.prio, hh.atom = prio, t * lat.M + m
+    fin = [s for s in scored if s[1] == lat.T - 1]
+    if fin and fin[0] not in keep:
+        keep = keep[:-1] + fin      # completion anchor always kept
+    for i, (prio, t) in enumerate(keep):
+        hh = h if i == 0 else RHyp(prio, 0, 0.0, h.words, h.rows,
+                                   h.lm_sum, h.state)
+        hh.prio = prio
+        hh.atom = t * lat.M + t2m[t]
+        hh.gval = float(gmap[t])
         if len(st.stack) >= cfg.stack_size * 4:
             st.stack.sort()
             del st.stack[cfg.stack_size:]
@@ -439,21 +543,46 @@ def _push_scored(st: _UttState, h: RHyp,
         heapq.heappush(st.stack, hh)
 
 
-def _finalize(h: RHyp, T: int) -> NBestResult:
-    """Backtrack the refined word boundaries through the beg chain."""
-    bounds: List[Tuple[int, int]] = []
-    e = T - 1
-    exact = float(h.g[e])
-    for beg in reversed(h.begs):
-        b = int(beg[e]) if e >= 0 else 0
-        b = max(0, min(b, e))
-        bounds.append((b, e))
-        e = b - 1
-    bounds.reverse()
-    return NBestResult(
-        word_ids=list(h.words),
-        score=exact,
-        am_score=exact - h.lm_sum,
-        lm_score=h.lm_sum,
-        bounds=bounds,
-    )
+def _finalize_all(utts: List[Optional[_UttState]],
+                  dispatcher: ScanDispatcher,
+                  cfg: SearchConfig) -> List[List[NBestResult]]:
+    """Backtrack refined word boundaries through the device beg rows —
+    one batched fetch for every completed hypothesis of every
+    utterance."""
+    want: List[int] = []
+    for st in utts:
+        if st is None:
+            continue
+        for (h, _) in st.results:
+            want.extend(hd.row for hd in h.rows)
+    begs = dispatcher.fetch_beg(want)
+    pos = 0
+    out: List[List[NBestResult]] = []
+    for st in utts:
+        if st is None:
+            out.append([])
+            continue
+        results = []
+        for (h, exact) in st.results:
+            n = len(h.rows)
+            rows = begs[pos:pos + n]
+            pos += n
+            T = st.lattice.T
+            bounds: List[Tuple[int, int]] = []
+            e = T - 1
+            for wi in range(n - 1, -1, -1):
+                b0 = int(rows[wi][e]) if e >= 0 else 0
+                b0 = max(0, min(b0, e))
+                bounds.append((b0, e))
+                e = b0 - 1
+            bounds.reverse()
+            results.append(NBestResult(
+                word_ids=list(h.words),
+                score=exact,
+                am_score=exact - h.lm_sum,
+                lm_score=h.lm_sum,
+                bounds=bounds,
+            ))
+        results.sort(key=lambda r: -r.score)
+        out.append(results[:cfg.nbest])
+    return out

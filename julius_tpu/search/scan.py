@@ -120,24 +120,56 @@ class ChainCache:
                 np.stack(sidxs))
 
 
-def scan_words(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
+class DeviceChainTables:
+    """Whole-vocabulary chain tables RESIDENT ON DEVICE (word id V = a
+    dead pad chain).  One build, then every scan dispatch gathers its
+    K chains on device from int32 word ids — the host never re-uploads
+    transition tables (the ChainCache path uploads [K, KL+1, N] floats
+    per dispatch, which dominates wall time through a high-latency
+    host<->TPU link)."""
+
+    def __init__(self, net: DecodeNetwork):
+        self.net = net
+        ofs = np.asarray(net.word_node_ofs, dtype=np.int64)
+        V = len(ofs) - 1
+        self.n_words = V
+        nw = np.diff(ofs)
+        self.nmax = int(nw.max()) if V else 1
+        N, Din = net.in_src.shape
+        valid = net.in_lp > NEG_HALF
+        span = (np.arange(N, dtype=np.int64)[:, None]
+                - net.in_src.astype(np.int64))
+        if valid.any():
+            if int(span[valid].min()) < 0:
+                raise ValueError("decode network has backward in-word "
+                                 "arcs; scan_word needs left-to-right")
+            self.kl = int(span[valid].max())
+        else:
+            self.kl = 0
+        node_word = np.repeat(np.arange(V, dtype=np.int64), nw)
+        local = np.arange(N, dtype=np.int64) - ofs[node_word]
+        loc = np.full((V + 1, self.kl + 1, self.nmax), LOG_ZERO,
+                      dtype=np.float32)
+        ii, dd = np.nonzero(valid)
+        np.maximum.at(
+            loc, (node_word[ii], span[ii, dd], local[ii]),
+            net.in_lp[ii, dd])
+        ent = np.full((V + 1, self.nmax), LOG_ZERO, dtype=np.float32)
+        ext = np.full((V + 1, self.nmax), LOG_ZERO, dtype=np.float32)
+        sidx = np.zeros((V + 1, self.nmax), dtype=np.int32)
+        ent[node_word, local] = net.entry_lp
+        ext[node_word, local] = net.exit_lp
+        sidx[node_word, local] = net.score_idx
+        self.loc = jnp.asarray(loc)
+        self.ent = jnp.asarray(ent)
+        self.ext = jnp.asarray(ext)
+        self.sidx = jnp.asarray(sidx)
+
+
+def _scan_core(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
                sidx: jnp.ndarray, seed: jnp.ndarray, bidx: jnp.ndarray,
                out_ext: jnp.ndarray):
-    """Advance K word chains over the whole utterance in one scan.
-
-    loc   [K, KL+1, N]  shifted in-word arc scores (ln)
-    ent   [K, N]        word-entry ln p (LOG_ZERO on non-entry nodes)
-    ext   [K, N]        word-exit ln p
-    sidx  [K, N]        rows into the extended outprob table
-    seed  [K, T]        score available for *entering* at frame t
-                        (prev hypothesis score at t-1, LM already added)
-    bidx  [K]           utterance index of each chain into out_ext
-    out_ext [B, T, R]   whole-batch outprob cache
-
-    Returns (g [K, T], beg [K, T] int32): g[k, t] = best score with the
-    word ending exactly at frame t; beg[k, t] = the entry frame of that
-    best path (the refined word-begin boundary).
-    """
+    """Shared seeded-Viterbi scan over K word chains (see scan_words)."""
     K, KLp1, N = loc.shape
     B, T, R = out_ext.shape
     gather_idx = bidx[:, None] * R + sidx                     # [K, N]
@@ -181,6 +213,75 @@ def scan_words(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
     ts = jnp.arange(T, dtype=jnp.int32)
     _, (g, beg) = jax.lax.scan(step, (sc0, efr0), (seed.T, ts))
     return g.T, beg.T
+
+
+def scan_words(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
+               sidx: jnp.ndarray, seed: jnp.ndarray, bidx: jnp.ndarray,
+               out_ext: jnp.ndarray):
+    """Advance K word chains over the whole utterance in one scan.
+
+    loc   [K, KL+1, N]  shifted in-word arc scores (ln)
+    ent   [K, N]        word-entry ln p (LOG_ZERO on non-entry nodes)
+    ext   [K, N]        word-exit ln p
+    sidx  [K, N]        rows into the extended outprob table
+    seed  [K, T]        score available for *entering* at frame t
+                        (prev hypothesis score at t-1, LM already added)
+    bidx  [K]           utterance index of each chain into out_ext
+    out_ext [B, T, R]   whole-batch outprob cache
+
+    Returns (g [K, T], beg [K, T] int32): g[k, t] = best score with the
+    word ending exactly at frame t; beg[k, t] = the entry frame of that
+    best path (the refined word-begin boundary).
+    """
+    return _scan_core(loc, ent, ext, sidx, seed, bidx, out_ext)
+
+
+def scan_words_store(g_store: jnp.ndarray, beg_store: jnp.ndarray,
+                     loc_all: jnp.ndarray, ent_all: jnp.ndarray,
+                     ext_all: jnp.ndarray, sidx_all: jnp.ndarray,
+                     wids: jnp.ndarray, parents: jnp.ndarray,
+                     lm_adds: jnp.ndarray, bidx: jnp.ndarray,
+                     out_rows: jnp.ndarray, anchors: jnp.ndarray,
+                     out_ext: jnp.ndarray, scan_beam: float = 0.0):
+    """Device-resident A* round: seeds come from stored parent g rows,
+    results go back into the store, and only the anchor-frame scores
+    return to the host.
+
+    Per-round host<->device traffic is O(K) int32/f32 ids in and
+    [K, A] anchor scores out — the full [K, T] g/beg vectors never
+    leave HBM (they are only read as the NEXT round's seeds and at
+    final backtrace).  This is what makes the reference's
+    sequential-looking stack decoding (search_bestfirst_main.c) viable
+    behind a high-latency host link.
+
+    g_store/beg_store [CAP, T] (donated); wids/parents/lm_adds/bidx/
+    out_rows [K]; anchors [K, A] frame indices; out_ext [B, T, R].
+    parents < 0 = word starts the sentence (seed = lm_add at frame 0).
+    Returns (g_store', beg_store', ganch [K, A]).
+    """
+    K = wids.shape[0]
+    T = g_store.shape[1]
+    loc = loc_all[wids]                       # [K, KL+1, N]
+    ent = ent_all[wids]
+    ext = ext_all[wids]
+    sidx = sidx_all[wids]
+    pg = g_store[jnp.maximum(parents, 0)]     # [K, T]
+    ext_seed = jnp.concatenate(
+        [jnp.full((K, 1), LOG_ZERO, jnp.float32), pg[:, :-1]], axis=1) \
+        + lm_adds[:, None]
+    if scan_beam > 0.0:
+        m = jnp.max(ext_seed, axis=1, keepdims=True)
+        ext_seed = jnp.where(
+            (m > NEG_HALF) & (ext_seed < m - scan_beam),
+            LOG_ZERO, ext_seed)
+    init_seed = jnp.full((K, T), LOG_ZERO, jnp.float32) \
+        .at[:, 0].set(lm_adds)
+    seed = jnp.where(parents[:, None] >= 0, ext_seed, init_seed)
+    g, beg = _scan_core(loc, ent, ext, sidx, seed, bidx, out_ext)
+    g_store = g_store.at[out_rows].set(g)
+    beg_store = beg_store.at[out_rows].set(beg)
+    ganch = jnp.take_along_axis(g, anchors, axis=1)           # [K, A]
+    return g_store, beg_store, ganch
 
 
 def scan_words_ref(loc: np.ndarray, ent: np.ndarray, ext: np.ndarray,

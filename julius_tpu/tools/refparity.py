@@ -389,18 +389,14 @@ def export_flagship(workdir, n_phones, n_words, hidden, n_layers, dim,
 
     # DNN weights: reference wants row-major [out, in] raw order
     # (calc_dnn.c:409 load_npy(l->w, wfile, l->in, l->out) read linearly,
-    # consumed as dst[o] = sum_i w[o*in+i]*src[i])
-    rng = np.random.default_rng(seed + 3)
+    # consumed as dst[o] = sum_i w[o*in+i]*src[i]).  NB the reference's
+    # FMA kernel (calc_dnn_fma.c:25 n = in/8, unchecked for FMA in
+    # dnn_layer_load) requires every layer's input size % 8 == 0 —
+    # dim*context and hidden must satisfy that.
+    from julius_tpu.tools.synth import trained_dnn_weights
     din = dim * context
-
-    def mat(a, b):
-        return (rng.standard_normal((a, b)) / math.sqrt(a)).astype(np.float32)
-
-    weights = [mat(din, hidden)] + [mat(hidden, hidden)
-                                    for _ in range(n_layers - 1)]
-    biases = [np.zeros(hidden, np.float32) for _ in range(n_layers)]
-    out_w = mat(hidden, n_out)
-    out_b = np.zeros(n_out, np.float32)
+    weights, biases, out_w, out_b, protos = trained_dnn_weights(
+        n_out, din, dim, context, hidden, n_layers, seed)
     conf = [f"feature_type USER\nfeature_len {dim}\ncontext_len {context}",
             f"input_nodes {din}\noutput_nodes {n_out}",
             f"hidden_nodes {hidden}\nhidden_layers {n_layers}"]
@@ -425,44 +421,51 @@ def export_flagship(workdir, n_phones, n_words, hidden, n_layers, dim,
                     log_prior=np.full(n_out, math.log10(1.0 / n_out),
                                       np.float32),
                     context_len=context, feature_len=dim)
-    return hmm, voca, lm, dnn
+    return hmm, voca, lm, dnn, protos
 
 
-def scenario_flagship(ref_bin, workdir, n_utts, audio_sec=10.0,
+from julius_tpu.tools.synth import make_flagship_utts  # noqa: E402  (re-export)
+
+
+def scenario_flagship(ref_bin, workdir, n_utts,
                       n_phones=668, n_words=5000, hidden=2048, n_layers=5,
-                      dim=120, context=11, seed=0):
-    """Speed baseline: reference julius (AVX/FMA + OpenMP DNN) vs
-    julius_tpu on identical feature files, flagship-scale models."""
+                      dim=120, context=11, seed=0, lm_weight=8.0,
+                      lm_penalty=-2.0):
+    """Flagship DNN-HMM parity: WER + speed.  Reference julius (AVX/FMA
+    + OpenMP DNN) vs julius_tpu on identical feature files at
+    flagship-scale models, generative utterances (truth known)."""
     from julius_tpu.config import SearchConfig
     from julius_tpu.engine import Engine
 
-    hmm, voca, lm, dnn = export_flagship(
+    hmm, voca, lm, dnn, protos = export_flagship(
         workdir, n_phones, n_words, hidden, n_layers, dim, context, seed)
+    truths, windows, lens_list = make_flagship_utts(
+        hmm, voca, lm, protos, n_utts, dim, context, seed=seed)
 
-    T = int(audio_sec * 100)   # 10ms frames
-    rng = np.random.default_rng(seed + 9)
-    mfc_files = []
     # in the buffered mfcfile+DNN path the reference does NOT splice:
     # dnn_calc_outprob (calc_dnn.c:800) memcpys inputnodenum floats
     # straight from the param row, so rows must already be
     # dim*context wide (splicing lives only in the realtime path,
     # realtime-1stpass.c:447 splice_mfcc); we feed both decoders the
     # identical spliced rows
-    batch = rng.standard_normal((n_utts, T, dim * context)) \
-        .astype(np.float32)
-    for u in range(n_utts):
+    mfc_files = []
+    for u, win in enumerate(windows):
         mfc = os.path.join(workdir, f"utt{u:03d}.mfc")
-        write_htk_param(mfc, HTKParam(data=batch[u], samp_period=100000,
+        write_htk_param(mfc, HTKParam(data=win, samp_period=100000,
                                       kind="USER"))
         mfc_files.append(mfc)
     listfile = os.path.join(workdir, "list.txt")
     with open(listfile, "w") as f:
         f.write("\n".join(mfc_files) + "\n")
 
+    lmp = [str(lm_weight), str(lm_penalty)]
+    # -b 0 = full beam: the auto-guessed width (m_chkparam.c
+    # set_beam_width) collapses on this synthetic AM's unnormalised
+    # scores, and our decoder is dense/full-beam — apples to apples
     ref_args = ["-h", "hmmdefs", "-v", "words.dict", "-nlr", "lm.arpa",
-                "-dnnconf", "dnn.conf",
+                "-dnnconf", "dnn.conf", "-b", "0",
                 "-input", "mfcfile", "-filelist", "list.txt",
-                "-lmp", "8.0", "-2.0", "-lmp2", "8.0", "-2.0",
+                "-lmp", *lmp, "-lmp2", *lmp,
                 "-n", "1", "-output", "1"]
     ref_out, ref_wall, rc = run_reference(ref_bin, ref_args, workdir)
     ref_results = parse_ref_output(ref_out)
@@ -473,9 +476,15 @@ def scenario_flagship(ref_bin, workdir, n_utts, audio_sec=10.0,
     import jax
     import jax.numpy as jnp
     eng = Engine(hmm, voca, lm, dnn=dnn,
-                 search=SearchConfig(lm_weight=8.0, lm_penalty=-2.0,
-                                     trellis_topm=32))
-    lens = jnp.full(n_utts, T, dtype=jnp.int32)
+                 search=SearchConfig(lm_weight=lm_weight,
+                                     lm_penalty=lm_penalty,
+                                     lm_weight2=lm_weight,
+                                     lm_penalty2=lm_penalty))
+    T = max(lens_list)
+    batch = np.zeros((n_utts, T, dim * context), np.float32)
+    for u, win in enumerate(windows):
+        batch[u, :win.shape[0]] = win
+    lens = jnp.asarray(lens_list, dtype=jnp.int32)
     feats = jnp.asarray(batch)
     # compile
     t0 = time.perf_counter()
@@ -484,21 +493,43 @@ def scenario_flagship(ref_bin, workdir, n_utts, audio_sec=10.0,
     t0 = time.perf_counter()
     res = eng.decode_features(feats, lens)
     our_wall = time.perf_counter() - t0
-    del res
+
+    # accuracy: truth is known by construction; the reference prints
+    # output symbols, <s>/</s> have empty "[]" output
+    agree = ref_err = our_err = ref_len = 0
+    mism = []
+    for u in range(n_utts):
+        truth = [w for w in truths[u] if w not in ("<s>", "</s>")]
+        r = ref_results[u] if u < len(ref_results) and ref_results[u] \
+            else []
+        o = [t_ for t_ in res[u].texts if t_] if res[u].valid else []
+        if r == o:
+            agree += 1
+        elif len(mism) < 10:
+            mism.append({"utt": u, "truth": " ".join(truth),
+                         "ref": " ".join(r), "ours": " ".join(o)})
+        e, n = wer(truth, r)
+        ref_err += e
+        ref_len += n
+        e, _ = wer(truth, o)
+        our_err += e
     jax.clear_caches()
 
-    audio_total = n_utts * audio_sec
+    audio_total = sum(lens_list) / 100.0
     return {
-        "scenario": "flagship_dnn_speed",
+        "scenario": "flagship_dnn_parity",
         "n_utts": n_utts,
-        "audio_seconds": audio_total,
+        "audio_seconds": round(audio_total, 1),
         "ref_wall_s": round(ref_wall, 2),
         "ref_xrt": round(audio_total / ref_wall, 2),
         "our_wall_s": round(our_wall, 2),
         "our_xrt": round(audio_total / our_wall, 2),
         "our_compile_s": round(compile_wall, 1),
         "speedup": round(ref_wall / our_wall, 2),
-        "ref_decoded": len(ref_results),
+        "transcript_agreement": round(agree / n_utts, 4),
+        "ref_wer": round(ref_err / max(1, ref_len), 4),
+        "our_wer": round(our_err / max(1, ref_len), 4),
+        "mismatches": mism,
     }
 
 

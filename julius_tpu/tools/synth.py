@@ -64,8 +64,10 @@ def make_vocabulary(hmm: HMMSet, n_words: int = 5000,
     rng = np.random.default_rng(seed)
     usable = [n for n in hmm.phone_names if n != "sil"]
     voca = Vocabulary()
-    voca.add("<s>", ["sil"])
-    voca.add("</s>", ["sil"])
+    # empty output strings like the reference dict convention
+    # ("<s> [] sil"): the silence words never appear in transcripts
+    voca.add("<s>", ["sil"], output="")
+    voca.add("</s>", ["sil"], output="")
     for i in range(n_words - 2):
         k = int(rng.integers(min_phones, max_phones + 1))
         phones = [usable[int(j)] for j in
@@ -116,10 +118,116 @@ def make_dnn(dim_in: int = 1320, hidden: int = 2048, n_layers: int = 5,
     )
 
 
+def trained_dnn_weights(n_out, din, dim, context, hidden, n_layers,
+                        seed):
+    """Random sigmoid hidden layers + a ridge-regressed output layer
+    that reads the CENTER frame's senone prototype out of the random
+    feature map.  Gives the synthetic flagship DNN actual decoding
+    power: frames built from per-senone prototypes (+noise) decode to
+    the generating senone sequence, so WER is measurable at flagship
+    scale (BASELINE.md) and pass-2 search behaves like it does on real
+    speech instead of burning its pop budget on noise.
+
+    Returns (weights, biases, out_w, out_b, protos[n_out, dim])."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed + 3)
+
+    def mat(a, b):
+        return (rng.standard_normal((a, b)) / math.sqrt(a)).astype(np.float32)
+
+    weights = [mat(din, hidden)] + [mat(hidden, hidden)
+                                    for _ in range(n_layers - 1)]
+    biases = [np.zeros(hidden, np.float32) for _ in range(n_layers)]
+    protos = rng.standard_normal((n_out, dim)).astype(np.float32)
+
+    # training windows: center frame = proto of the target senone,
+    # context frames = protos of random senones (+noise), so the
+    # regression learns a center-frame readout
+    n_per = max(4, 32768 // n_out)
+    N = n_out * n_per
+    tgt = np.repeat(np.arange(n_out), n_per)
+    ctx_ids = rng.integers(0, n_out, size=(N, context))
+    X = protos[ctx_ids].reshape(N, din).astype(np.float32)
+    c0 = (context // 2) * dim
+    X[:, c0:c0 + dim] = protos[tgt]
+    X += 0.25 * rng.standard_normal(X.shape).astype(np.float32)
+
+    def hidden_map(x):
+        h = x
+        for w, b in zip(weights, biases):
+            h = jax.nn.sigmoid(h @ jnp.asarray(w) + jnp.asarray(b))
+        return h
+
+    H = np.asarray(jax.jit(hidden_map)(jnp.asarray(X)))
+    lam = 1e-2 * N / hidden
+    A = H.T @ H + lam * np.eye(hidden, dtype=np.float32)
+    ht_y = np.zeros((hidden, n_out), np.float32)
+    for s in range(n_out):
+        ht_y[:, s] = H[tgt == s].sum(axis=0)
+    out_w = np.linalg.solve(A, ht_y).astype(np.float32)
+    # sharpen: rescale logits so the mean top1-top2 margin is large
+    # enough that the log-softmax outprob differences compete with the
+    # weighted LM scores (softmax temperature is a free parameter of
+    # this synthetic model — regression only fixes the direction)
+    logits = H[:2048] @ out_w
+    srt = np.sort(logits, axis=1)
+    margin = float(np.mean(srt[:, -1] - srt[:, -2]))
+    out_w *= 8.0 / max(margin, 1e-3)
+    out_b = np.zeros(n_out, np.float32)
+    return weights, biases, out_w, out_b, protos
+
+
+def make_flagship_utts(hmm, voca, lm, protos, n_utts, dim, context,
+                       min_words=4, max_words=9, seed=0):
+    """Generative flagship utterances: word sequence -> senone path via
+    the HMM transitions -> base frames = senone prototypes + noise ->
+    spliced windows (what the decoders consume).  Truth is known by
+    construction.  Returns (truths, windows, lens)."""
+    rng = np.random.default_rng(seed + 9)
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    usable = [i for i, n in enumerate(voca.names)
+              if n not in ("<s>", "</s>")]
+    truths, windows, lens = [], [], []
+    for _ in range(n_utts):
+        k = int(rng.integers(min_words, max_words + 1))
+        seq = ([name2id["<s>"]]
+               + [usable[int(j)] for j in
+                  rng.integers(0, len(usable), size=k)]
+               + [name2id["</s>"]])
+        senones = []
+        for w in seq:
+            for p in voca.phones[w]:
+                pid = hmm.phone_index[p]
+                ns = int(hmm.phone_ns[pid])
+                trans = hmm.phone_trans[pid]
+                s = 0
+                while s < ns:
+                    senones.append(int(hmm.phone_states[pid, s]))
+                    if rng.random() > math.exp(trans[s + 1, s + 1]):
+                        s += 1
+        base = protos[senones] \
+            + 0.25 * rng.standard_normal((len(senones), dim)) \
+            .astype(np.float32)
+        half = context // 2
+        T = base.shape[0]
+        idx = np.clip(np.arange(T)[:, None]
+                      + np.arange(-half, context - half)[None, :], 0, T - 1)
+        win = base[idx].reshape(T, dim * context).astype(np.float32)
+        truths.append([voca.names[w] for w in seq])
+        windows.append(win)
+        lens.append(T)
+    return truths, windows, lens
+
+
 def flagship_engine(n_words: int = 5000, n_phones: int = 668,
                     hidden: int = 2048, n_layers: int = 5,
-                    seed: int = 0):
-    """The headline configuration: DNN-HMM dictation, FBANK_D_A 40ch."""
+                    seed: int = 0, trained: bool = False):
+    """The headline configuration: DNN-HMM dictation, FBANK_D_A 40ch.
+
+    trained=True swaps the random output layer for the ridge-regressed
+    senone readout (trained_dnn_weights) and also returns the senone
+    prototypes: (engine, protos)."""
     from julius_tpu.engine import Engine
 
     fe_cfg = parse_feature_type("FBANK_D_A")
@@ -128,8 +236,18 @@ def flagship_engine(n_words: int = 5000, n_phones: int = 668,
     hmm = make_hmmset(n_phones=n_phones, dim=feat_dim, seed=seed)
     voca = make_vocabulary(hmm, n_words=n_words, seed=seed + 1)
     lm = make_ngram(voca, seed=seed + 2)
+    search = SearchConfig(lm_weight=8.0, lm_penalty=-2.0, trellis_topm=32)
+    if trained:
+        from julius_tpu.io.dnn import DNNParams
+        n_out = hmm.n_states
+        weights, biases, out_w, out_b, protos = trained_dnn_weights(
+            n_out, feat_dim * 11, feat_dim, 11, hidden, n_layers, seed + 3)
+        dnn = DNNParams(
+            weights=weights, biases=biases, output_w=out_w, output_b=out_b,
+            log_prior=np.full(n_out, math.log10(1.0 / n_out), np.float32),
+            context_len=11, feature_len=feat_dim)
+        eng = Engine(hmm, voca, lm, dnn=dnn, frontend=fe_cfg, search=search)
+        return eng, protos
     dnn = make_dnn(dim_in=feat_dim * 11, hidden=hidden, n_layers=n_layers,
                    n_out=hmm.n_states, seed=seed + 3)
-    return Engine(hmm, voca, lm, dnn=dnn, frontend=fe_cfg,
-                  search=SearchConfig(lm_weight=8.0, lm_penalty=-2.0,
-                                      trellis_topm=32))
+    return Engine(hmm, voca, lm, dnn=dnn, frontend=fe_cfg, search=search)

@@ -82,7 +82,8 @@ def test_pseudo_scores_max_over_members(hmm):
     tables = build_gmm_tables(hmm2, ps)
     rng = np.random.default_rng(4)
     x = rng.standard_normal((3, hmm2.dim)).astype(np.float32)
-    ext = np.asarray(senone_scores(tables, jnp.asarray(x)))
+    ext = np.asarray(senone_scores(tables, jnp.asarray(x),
+                                   iwcd_scheme="max"))
     S = hmm2.n_states
     base = ext[:, :S]
     for j in range(ps.n_set_states):
@@ -142,3 +143,36 @@ def test_dnn_bf16_close_to_f32():
     bf16 = np.asarray(dnn_scores(build_dnn_scorer(params, "bfloat16"),
                                  jnp.asarray(x)))
     assert np.max(np.abs(f32 - bf16)) < 0.05
+
+
+def test_iwcd_aggregation_schemes():
+    """-iwcd1 max / avg / best N aggregation of pseudo phone sets
+    (reference outprob_cd, outprob.c:287-420; default IWCD_NBEST
+    init_phmm.c:74) against hand-computed values."""
+    import jax.numpy as jnp
+    import numpy as np
+    from julius_tpu.ops.gmm import aggregate_pseudo
+    from julius_tpu.utils.logadd import LOG_ZERO
+
+    # two sets: set0 = senones {0,1,2}, set1 = senones {3,4}
+    members = jnp.asarray([0, 1, 2, 3, 4], jnp.int32)
+    segids = jnp.asarray([0, 0, 0, 1, 1], jnp.int32)
+    sen = np.asarray([[-1.0, -3.0, -2.0, -5.0, LOG_ZERO]], np.float32)
+    s = jnp.asarray(sen)
+
+    mx = np.asarray(aggregate_pseudo(members, segids, 2, s, "max"))
+    np.testing.assert_allclose(mx[0], [-1.0, -5.0], atol=1e-6)
+
+    av = np.asarray(aggregate_pseudo(members, segids, 2, s, "avg"))
+    # avg = mean of finite LOG probs (outprob_cd_avg skips LOG_ZERO)
+    np.testing.assert_allclose(av[0], [-2.0, -5.0], atol=1e-6)
+
+    b2 = np.asarray(aggregate_pseudo(members, segids, 2, s, "best", 2))
+    # best-2 = mean of the top-2 log probs (outprob_cd_nbest)
+    np.testing.assert_allclose(b2[0], [(-1.0 - 2.0) / 2, -5.0], atol=1e-6)
+
+    b1 = np.asarray(aggregate_pseudo(members, segids, 2, s, "best", 1))
+    np.testing.assert_allclose(b1[0], mx[0], atol=1e-6)
+
+    # schemes genuinely change scores
+    assert not np.allclose(mx, av) and not np.allclose(mx, b2)
