@@ -239,6 +239,9 @@ class SearchConfig:
     align_state: bool = False
     compute_confidence: bool = False
     cm_alpha: float = 0.05
+    cm_search: bool = False         # CM from search-time pass-2 graph
+                                    # posteriors (reference CM_SEARCH
+                                    # build variant) instead of N-best
     graph_out: bool = False
     confnet_out: bool = False
     graph_min_posterior: float = 1e-4

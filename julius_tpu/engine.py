@@ -460,12 +460,15 @@ class Engine:
         if rescan and any(l is not None for l in lattices):
             disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                       self.search_cfg.scan_beam)
+            graphs = [] if self._want_p2_graph() else None
             nbest_lists = p2r.rescan_nbest_batch(
-                lattices, disp, self._rescan_strategy(), self.search_cfg)
+                lattices, disp, self._rescan_strategy(), self.search_cfg,
+                graphs=graphs)
             for b in range(B):
                 if lattices[b] is not None and nbest_lists[b]:
-                    out[b] = self._assemble_pass2(nbest_lists[b],
-                                                  lattices[b])
+                    out[b] = self._assemble_pass2(
+                        nbest_lists[b], lattices[b],
+                        gwords=graphs[b] if graphs else None)
         for b in range(B):
             if out[b] is None:
                 # pass-2 empty -> pass-1 fallback (reference
@@ -520,12 +523,15 @@ class Engine:
         outprob cache) and an eligible config, uses the acoustic re-scan
         search (pass2_rescan); otherwise the frozen-score search."""
         lattice = p2.TrellisLattice(tb, n_frames)
+        gwords = None
         if out_ext is not None and self._rescan_ok():
             disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                       self.search_cfg.scan_beam)
+            graphs = [] if self._want_p2_graph() else None
             nbest = p2r.rescan_nbest_batch(
                 [lattice], disp, self._rescan_strategy(),
-                self.search_cfg)[0]
+                self.search_cfg, graphs=graphs)[0]
+            gwords = graphs[0] if graphs else None
         elif self.lmtype == "grammar":
             nbest = p2.pass2_search_dfa(lattice, self.dfa, self.word_cat,
                                         self.search_cfg)
@@ -546,10 +552,18 @@ class Engine:
                                         cprob)
         if not nbest:
             return None
-        return self._assemble_pass2(nbest, lattice)
+        return self._assemble_pass2(nbest, lattice, gwords=gwords)
+
+    def _want_p2_graph(self) -> bool:
+        """Collect the pass-2 word graph during the rescanned search
+        (reference graphout.c during-search generation; also feeds
+        CM_SEARCH-style confidence)."""
+        sc = self.search_cfg
+        return sc.graph_out or sc.confnet_out or sc.cm_search
 
     def _assemble_pass2(self, nbest: List[p2.NBestResult],
-                        lattice: p2.TrellisLattice) -> Result:
+                        lattice: p2.TrellisLattice,
+                        gwords=None) -> Result:
         """N-best list -> Result with confidence/MBR/graph attachments
         (reference result output block, search_bestfirst_main.c:1090)."""
         if self.search_cfg.compute_confidence:
@@ -576,11 +590,29 @@ class Engine:
         best = mk(nbest[0])
         best.nbest = [mk(r) for r in nbest]
         sc = self.search_cfg
-        if sc.graph_out or sc.confnet_out:
-            graph = go.prune_graph(go.build_word_graph(lattice),
-                                   sc.graph_min_posterior)
+        if sc.graph_out or sc.confnet_out or (sc.cm_search and gwords):
+            if gwords:
+                # words collected during the rescanned search: AM spans
+                # are pass-2 exact, LM is the pass-2 weighted N-gram
+                # (reference during-search graph, graphout.c:1901,2020)
+                graph = go.build_word_graph_pass2(gwords, lattice.T,
+                                                  sc.cm_alpha)
+            else:
+                graph = go.build_word_graph(lattice)
+            graph = go.prune_graph(graph, sc.graph_min_posterior)
             if sc.graph_out:
                 best.graph = graph
             if sc.confnet_out:
                 best.confnet = go.confusion_network(graph)
+            if sc.cm_search and gwords:
+                # CM_SEARCH-style confidence: per-word posterior from
+                # the search-time graph (search_bestfirst_main.c:452-635
+                # computes it from the local stack; the during-search
+                # graph posterior is the same quantity over the full
+                # retained hypothesis set)
+                post = {(w.word, w.begin, w.end): w.posterior
+                        for w in graph.words}
+                for res in [best] + best.nbest:
+                    res.cm = [post.get((w, s["begin"], s["end"]), 0.0)
+                              for w, s in zip(res.word_ids, res.segments)]
         return best

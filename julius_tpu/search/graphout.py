@@ -123,6 +123,34 @@ def _compute_posteriors(g: WordGraph, scale: float) -> None:
         g.words[i].posterior = float(np.exp(v)) if np.isfinite(v) else 0.0
 
 
+def build_word_graph_pass2(gwords: Dict, n_frames: int,
+                           scale: float = 0.05) -> WordGraph:
+    """Pass-2 word graph: words collected DURING the rescanned A*
+    (reference wordgraph_assign graphout.c:1901, dynamic merge :2020),
+    so AM spans are re-scanned exact scores under hypothesis context
+    and LM scores are the pass-2 weighted N-gram values — not pass-1
+    approximations.
+
+    gwords: {(word, begin, end): (cum, am, lm)} from
+    pass2_rescan.rescan_nbest_batch(graphs=...)."""
+    words: List[GraphWord] = []
+    for (w, b, e), (cum, am, lm) in sorted(gwords.items(),
+                                           key=lambda kv: kv[0][2]):
+        words.append(GraphWord(
+            id=len(words), word=int(w), begin=int(b), end=int(e),
+            score=float(cum), am=float(am), lm=float(lm)))
+    by_begin: Dict[int, List[int]] = {}
+    for w in words:
+        by_begin.setdefault(w.begin, []).append(w.id)
+    for w in words:
+        for nid in by_begin.get(w.end + 1, []):
+            w.right.append(nid)
+            words[nid].left.append(w.id)
+    g = WordGraph(words=words, n_frames=n_frames)
+    _compute_posteriors(g, scale)
+    return g
+
+
 def prune_graph(g: WordGraph, min_posterior: float = 1e-4) -> WordGraph:
     """Drop words below a posterior floor and unreachable words
     (reference wordgraph_clean / depth cut, graphout.c:871,1050)."""

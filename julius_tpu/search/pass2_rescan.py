@@ -245,9 +245,11 @@ class ScanDispatcher:
         self.pool.cap = 2 * cap
 
     def run(self, reqs: List[_Req]):
-        """Returns (handles [len(reqs)], ganch [len(reqs), A_CAND])."""
+        """Returns (handles, ganch, banch, sanch), the latter three
+        [len(reqs), A_CAND]: g / refined-begin / seed-at-entry values at
+        each request's anchor frames."""
         handles: List[RowHandle] = []
-        ganchs = []
+        ganchs, banchs, sanchs = [], [], []
         dead_w = self.tabs.n_words          # pad chain scores LOG_ZERO
         for ofs in range(0, len(reqs), K_BUCKETS[-1]):
             chunk = reqs[ofs:ofs + K_BUCKETS[-1]]
@@ -272,7 +274,7 @@ class ScanDispatcher:
                 rows[i] = h.row
                 if r.anchors:
                     anchors[i, :len(r.anchors)] = r.anchors
-            self.g_store, self.beg_store, ganch = self._fn(
+            self.g_store, self.beg_store, ganch, banch, sanch = self._fn(
                 self.g_store, self.beg_store,
                 self.tabs.loc, self.tabs.ent, self.tabs.ext,
                 self.tabs.sidx,
@@ -280,10 +282,15 @@ class ScanDispatcher:
                 jnp.asarray(bidx), jnp.asarray(rows),
                 jnp.asarray(anchors), self.out_ext)
             ganchs.append(np.asarray(ganch[:K]))
+            banchs.append(np.asarray(banch[:K]))
+            sanchs.append(np.asarray(sanch[:K]))
             handles.extend(chunk_handles)
             self.n_scans += K
-        return handles, (np.concatenate(ganchs) if ganchs
-                         else np.zeros((0, A_CAND), np.float32))
+        if not ganchs:
+            z = np.zeros((0, A_CAND), np.float32)
+            return handles, z, z.astype(np.int32), z
+        return (handles, np.concatenate(ganchs),
+                np.concatenate(banchs), np.concatenate(sanchs))
 
     def fetch_beg(self, row_ids: List[int]) -> np.ndarray:
         """[n, T] beg rows for final backtrace (one gather dispatch)."""
@@ -298,6 +305,10 @@ class _UttState:
     stack: List[RHyp] = field(default_factory=list)
     results: List[Tuple[RHyp, float]] = field(default_factory=list)
     seen: Dict = field(default_factory=dict)
+    # pass-2 word graph accumulator: (word, begin, end) -> (cum, am, lm)
+    # with dynamic merge keeping the best cumulative score (reference
+    # wordgraph_assign graphout.c:1901 + merge :2020)
+    gwords: Dict = field(default_factory=dict)
     # word envelope: distinct word sequences admitted per length
     # (reference wb_ok, search_bestfirst_main.c:847; counting sequences
     # rather than pops so sibling boundary anchors don't burn the budget)
@@ -386,11 +397,15 @@ def rescan_nbest_batch(
     dispatcher: ScanDispatcher,
     strategy,
     cfg: SearchConfig,
+    graphs: Optional[List] = None,
 ) -> List[List[NBestResult]]:
     """Run the rescanned A* for a whole utterance batch in lockstep.
 
     lattices[b] = None skips utterance b.  Returns per-utterance N-best
-    lists (possibly empty = fall back to pass 1)."""
+    lists (possibly empty = fall back to pass 1).  When `graphs` is a
+    list, it receives one {(word, begin, end): (cum, am, lm)} dict per
+    utterance — the pass-2 word graph accumulated during search
+    (reference wordgraph_assign/merge, graphout.c:1901,2020)."""
     lr = max(0, int(cfg.lookup_range))
     utts: List[Optional[_UttState]] = []
     reqs: List[_Req] = []
@@ -419,9 +434,10 @@ def rescan_nbest_batch(
             reqs[ri].add_anchors(ts)
             metas.append((b, None, w, ts, t2m, lm, state, ri))
 
+    collect = graphs is not None
     while True:
         if reqs:
-            handles, ganch = dispatcher.run(reqs)
+            handles, ganch, banch, sanch = dispatcher.run(reqs)
             for (b, parent, w, ts, t2m, lm, state, ri) in metas:
                 req = reqs[ri]
                 gmap = dict(zip(req.anchors, ganch[ri]))
@@ -433,6 +449,18 @@ def rescan_nbest_batch(
                     lm_sum=(parent.lm_sum + lm) if parent else lm,
                     state=state)
                 _push_scored(utts[b], h, ts, t2m, gmap, cfg)
+            if collect:
+                for ri, req in enumerate(reqs):
+                    gw = utts[req.b].gwords
+                    for ai, t in enumerate(req.anchors):
+                        gv = float(ganch[ri][ai])
+                        if gv <= NEG_HALF:
+                            continue
+                        key = (req.w, int(banch[ri][ai]), t)
+                        am = gv - float(sanch[ri][ai])
+                        cur = gw.get(key)
+                        if cur is None or gv > cur[0]:
+                            gw[key] = (gv, am, req.lm_add)
         reqs, metas = [], []
         req_of = {}
         for b, st in enumerate(utts):
@@ -503,6 +531,9 @@ def rescan_nbest_batch(
                        for st in utts):
                 break
 
+    if graphs is not None:
+        for st in utts:
+            graphs.append(st.gwords if st is not None else {})
     return _finalize_all(utts, dispatcher, cfg)
 
 

@@ -181,7 +181,7 @@ def _scan_core(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
         return jnp.concatenate([pad, x[:, :-k]], axis=1)
 
     def step(carry, xs):
-        sc, efr = carry
+        sc, efr, sv = carry
         seed_t, t = xs
         out_row = jax.lax.dynamic_index_in_dim(out_ext, t, 1,
                                                keepdims=False)  # [B, R]
@@ -192,27 +192,34 @@ def _scan_core(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
         for c in cands[1:]:
             mx = jnp.maximum(mx, c)
         nefr = efr
+        nsv = sv
         taken = cands[0] >= mx
         for k in range(1, KLp1):
             hit = (cands[k] >= mx) & ~taken
             taken = taken | hit
             nefr = jnp.where(hit, shift(efr, k, 0), nefr)
+            nsv = jnp.where(hit, shift(sv, k, LOG_ZERO), nsv)
         ent_t = seed_t[:, None] + ent                           # [K, N]
         enter = ent_t > mx
         base = jnp.maximum(ent_t, mx)
         nsc = jnp.where(base > NEG_HALF, base + outg, LOG_ZERO)
         nefr = jnp.where(enter, t, nefr)
+        # seed value carried along the path: local word score at a
+        # candidate end = g[t] - seed_at_entry (pass-2 graph words)
+        nsv = jnp.where(enter, seed_t[:, None], nsv)
         endv = jnp.where(nsc > NEG_HALF, nsc + ext, LOG_ZERO)
         an = jnp.argmax(endv, axis=1)
         g_t = jnp.take_along_axis(endv, an[:, None], axis=1)[:, 0]
         b_t = jnp.take_along_axis(nefr, an[:, None], axis=1)[:, 0]
-        return (nsc, nefr), (g_t, b_t)
+        s_t = jnp.take_along_axis(nsv, an[:, None], axis=1)[:, 0]
+        return (nsc, nefr, nsv), (g_t, b_t, s_t)
 
     sc0 = jnp.full((K, N), LOG_ZERO, jnp.float32)
     efr0 = jnp.zeros((K, N), jnp.int32)
+    sv0 = jnp.full((K, N), LOG_ZERO, jnp.float32)
     ts = jnp.arange(T, dtype=jnp.int32)
-    _, (g, beg) = jax.lax.scan(step, (sc0, efr0), (seed.T, ts))
-    return g.T, beg.T
+    _, (g, beg, sv) = jax.lax.scan(step, (sc0, efr0, sv0), (seed.T, ts))
+    return g.T, beg.T, sv.T
 
 
 def scan_words(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
@@ -233,7 +240,8 @@ def scan_words(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
     word ending exactly at frame t; beg[k, t] = the entry frame of that
     best path (the refined word-begin boundary).
     """
-    return _scan_core(loc, ent, ext, sidx, seed, bidx, out_ext)
+    g, beg, _ = _scan_core(loc, ent, ext, sidx, seed, bidx, out_ext)
+    return g, beg
 
 
 def scan_words_store(g_store: jnp.ndarray, beg_store: jnp.ndarray,
@@ -277,11 +285,15 @@ def scan_words_store(g_store: jnp.ndarray, beg_store: jnp.ndarray,
     init_seed = jnp.full((K, T), LOG_ZERO, jnp.float32) \
         .at[:, 0].set(lm_adds)
     seed = jnp.where(parents[:, None] >= 0, ext_seed, init_seed)
-    g, beg = _scan_core(loc, ent, ext, sidx, seed, bidx, out_ext)
+    g, beg, sv = _scan_core(loc, ent, ext, sidx, seed, bidx, out_ext)
     g_store = g_store.at[out_rows].set(g)
     beg_store = beg_store.at[out_rows].set(beg)
     ganch = jnp.take_along_axis(g, anchors, axis=1)           # [K, A]
-    return g_store, beg_store, ganch
+    banch = jnp.take_along_axis(beg, anchors, axis=1)         # [K, A]
+    # seed value at the winning entry: local word score for the pass-2
+    # word graph = ganch - sanch (graphout.c wordgraph_assign role)
+    sanch = jnp.take_along_axis(sv, anchors, axis=1)          # [K, A]
+    return g_store, beg_store, ganch, banch, sanch
 
 
 def scan_words_ref(loc: np.ndarray, ent: np.ndarray, ext: np.ndarray,
