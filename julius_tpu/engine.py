@@ -141,15 +141,19 @@ class Engine:
             transparent_penalty=sc.transparent_penalty,
             cprob=(np.asarray(voca.cprob, dtype=np.float32)
                    if voca.cprob and any(voca.cprob) else None))
-        if sc.trellis_topm <= 0:
+        trellis_topm = sc.trellis_topm
+        if trellis_topm <= 0:
             # auto-size M with the vocabulary: the reference's
             # backtrellis keeps every survivor word-end per frame
             # (backtrellis.c), so a fixed per-frame cap must grow with
-            # how many words can plausibly end at once
-            sc.trellis_topm = int(
+            # how many words can plausibly end at once.  Computed into a
+            # local (NOT written back to sc): a SearchConfig shared
+            # across engines with different vocabularies must not
+            # inherit the first engine's M.
+            trellis_topm = int(
                 min(256, max(64, -(-voca.n_words // 160) // 32 * 32 + 32)))
         self.p1_cfg = p1.Pass1Config(
-            n_atoms=sc.trellis_topm,
+            n_atoms=trellis_topm,
             lm_weight=sc.lm_weight,
             lm_penalty=sc.lm_penalty,
             beam_width=float(sc.beam_width) if sc.beam_width else 0.0,
@@ -591,20 +595,27 @@ class Engine:
         best.nbest = [mk(r) for r in nbest]
         sc = self.search_cfg
         if sc.graph_out or sc.confnet_out or (sc.cm_search and gwords):
-            if gwords:
-                # words collected during the rescanned search: AM spans
-                # are pass-2 exact, LM is the pass-2 weighted N-gram
-                # (reference during-search graph, graphout.c:1901,2020)
-                graph = go.build_word_graph_pass2(gwords, lattice.T,
-                                                  sc.cm_alpha)
-            else:
-                graph = go.build_word_graph(lattice)
-            graph = go.prune_graph(graph, sc.graph_min_posterior)
-            if sc.graph_out:
-                best.graph = graph
-            if sc.confnet_out:
-                best.confnet = go.confusion_network(graph)
+            if sc.graph_out or sc.confnet_out:
+                # posterior-bearing outputs use the dense pass-1 lattice
+                # graph: every recorded word-end atom contributes mass,
+                # where the sparser anchor-probed pass-2 graph loses
+                # forward-backward mass on non-tiling spans (reference
+                # fixes this with boundary-adjust loops, graphout.c:1050)
+                graph = go.prune_graph(go.build_word_graph(lattice),
+                                       sc.graph_min_posterior)
+                if sc.graph_out:
+                    best.graph = graph
+                if sc.confnet_out:
+                    best.confnet = go.confusion_network(graph)
             if sc.cm_search and gwords:
+                # CM keys on pass-2 refined (word, begin, end) spans, so
+                # its posterior graph must come from the during-search
+                # pass-2 words (AM spans exact under hypothesis context;
+                # reference wordgraph_assign graphout.c:1901,2020)
+                graph = go.prune_graph(
+                    go.build_word_graph_pass2(gwords, lattice.T,
+                                              sc.cm_alpha),
+                    sc.graph_min_posterior)
                 # CM_SEARCH-style confidence: per-word posterior from
                 # the search-time graph (search_bestfirst_main.c:452-635
                 # computes it from the local stack; the during-search

@@ -265,7 +265,11 @@ def scan_words_store(g_store: jnp.ndarray, beg_store: jnp.ndarray,
     g_store/beg_store [CAP, T] (donated); wids/parents/lm_adds/bidx/
     out_rows [K]; anchors [K, A] frame indices; out_ext [B, T, R].
     parents < 0 = word starts the sentence (seed = lm_add at frame 0).
-    Returns (g_store', beg_store', ganch [K, A]).
+    Returns (g_store', beg_store', ganch, banch, sanch), the last three
+    [K, A] at the anchor frames: ganch = g values, banch = refined
+    word-begin frames (word-graph begin frames), sanch = the seed value
+    carried from the winning entry (so ganch - sanch = the word's local
+    AM+LM contribution, used for pass-2 graph word extraction).
     """
     K = wids.shape[0]
     T = g_store.shape[1]
