@@ -69,13 +69,14 @@ class TrellisLattice:
         self.prev = np.asarray(trellis.prev)[:n_frames]
         self.begin = np.asarray(trellis.begin)[:n_frames]
         self.T, self.M = self.word.shape
-        # atoms grouped by begin frame for successor lookup
+        # atoms grouped by begin frame for successor lookup (built from
+        # the nonzero mask, not a T x M Python loop — the flagship
+        # trellis holds ~10k atoms per utterance)
         self.by_begin: Dict[int, List[Tuple[int, int]]] = {}
-        for t in range(self.T):
-            for m in range(self.M):
-                if self.word[t, m] >= 0:
-                    self.by_begin.setdefault(
-                        int(self.begin[t, m]), []).append((t, m))
+        t_idx, m_idx = np.nonzero(self.word >= 0)
+        for b, t, m in zip(self.begin[t_idx, m_idx].tolist(),
+                           t_idx.tolist(), m_idx.tolist()):
+            self.by_begin.setdefault(b, []).append((t, m))
 
     def by_end(self, t: int) -> List[Tuple[int, int]]:
         """Atoms whose word ends at frame t (trellis row t)."""

@@ -11,22 +11,41 @@ hypothesis length (`search_bestfirst_main.c:847` wb_ok), and `-sb`
 
 TPU shape: one A* round pops the best few hypotheses of EVERY utterance
 in the batch, gathers all their word extensions into one batched
-`scan.scan_words_store` dispatch (K chains x T frames in a single
-lax.scan), then pushes the rescored hypotheses back on the per-utterance
-stacks.  The stack logic stays host-side (it is tiny); everything sized
-O(T) stays device-resident: chain transition tables live on device for
-the whole vocabulary (scan.DeviceChainTables), per-hypothesis g/beg
-vectors live in a device row store seeded on device from their parents'
-rows, and only the [K, A] anchor-frame scores cross the host link each
-round.  The pass-1 trellis supplies next-word candidates (atoms whose
-begin frame falls within +-lookup_range of the boundary, reference
-`ngram_decode.c:566` ngram_nextwords) and the A* completion estimate
-(an AM-only backward DP over the trellis).
+windowed-scan dispatch (K chains x W frames in a single lax.scan), then
+pushes the rescored hypotheses back on the per-utterance stacks.  The
+stack logic stays host-side (it is tiny); everything sized O(T) stays
+device-resident: chain transition tables live on device for the whole
+vocabulary (scan.DeviceChainTables), per-hypothesis g/beg vectors live
+in a device row store seeded on device from their parents' rows, and
+only the [K, A] anchor-frame scores cross the host link each round.
+
+Three design rules keep the serial-round count and per-round cost down
+(the host<->TPU link costs ~35 ms per blocking round trip, so pass-2
+wall is essentially rounds x RTT):
+
+* the A* completion estimate is the pass-1 trellis suffix score WITH its
+  LM portion (`_suffix_estimate`), mirroring the reference's use of
+  backtrellis scores as the forward estimate (`search.h` NODE score =
+  g[] + backtrellis score).  An AM-only estimate is so optimistic under
+  lm_weight ~8 that the search degenerates to breadth-first over the
+  whole word-envelope budget (~13k scans/utterance measured);
+* each round pops a batch of hypotheses per utterance (POPS_PER_ROUND),
+  so rounds ~ sentence length, not pops;
+* each word extension scans only a bucketed window of frames around its
+  trellis span (`scan.scan_words_store_win`) — words span ~30 frames
+  while utterances span hundreds (reference scan_word walks only the
+  word's frames for the same reason).
+
+The pass-1 trellis supplies next-word candidates (atoms whose begin
+frame falls within +-lookup_range of the boundary, reference
+`ngram_decode.c:566` ngram_nextwords); candidate sets are cached per
+boundary frame since they are hypothesis-independent.
 """
 
 from __future__ import annotations
 
 import heapq
+import itertools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
@@ -36,27 +55,33 @@ import numpy as np
 
 from julius_tpu.config import SearchConfig
 from julius_tpu.search.pass2 import NBestResult, TrellisLattice
-from julius_tpu.search.scan import DeviceChainTables, scan_words_store
+from julius_tpu.search.scan import (DeviceChainTables, bucket_w,
+                                    scan_words_store_win)
 from julius_tpu.utils.logadd import LOG_ZERO
 
 NEG_HALF = LOG_ZERO / 2
 
 #: hypotheses popped per utterance per round (device-dispatch batching
 #: knob: larger = fewer, bigger rounds; the A* is stale-pop tolerant)
-POPS_PER_ROUND = 8
+POPS_PER_ROUND = 16
 #: cap on distinct next words considered per expansion
-MAX_NEXT_WORDS = 48
+MAX_NEXT_WORDS = 32
 #: cap on boundary-anchor variants pushed per rescored hypothesis (the
 #: best few by priority; bounds stack flooding so distinct alternative
 #: sequences survive the stack trim)
 MAX_ANCHORS = 8
 #: anchor-frame slots per scan request (candidate word-end frames whose
-#: g values return to the host; union across sibling expansions)
+#: g values return to the host; union across sibling expansions —
+#: overflow opens a chained request, no anchors are dropped)
 A_CAND = 16
 #: failsafe on total scans per utterance
 MAX_SCANS = 20000
 #: K buckets for one store dispatch (pads up; keeps jit cache small)
-K_BUCKETS = (64, 512, 2048)
+K_BUCKETS = (256, 2048)
+#: extra frames of entry slack before the earliest trellis begin of a
+#: word (boundary refinement may move a begin earlier than any pass-1
+#: atom recorded; the trap test shifts one by 3)
+WIN_PAD = 12
 
 
 def _bucket_k(k: int) -> int:
@@ -98,21 +123,17 @@ class RowHandle:
             pass
 
 
-@dataclass
-class RHyp:
-    """A sentence prefix anchored at one candidate boundary frame."""
+class _Hyp:
+    """A sentence prefix (one per (parent, word) expansion; its stack
+    entries — one per candidate boundary anchor — share this record)."""
 
-    prio: float                    # g[anchor] + pass-1 completion estimate
-    atom: int                      # anchor flat atom id (t*M + m)
-    gval: float                    # g[anchor] (exact score at the anchor)
-    words: Tuple[int, ...]
-    rows: Tuple[RowHandle, ...]    # per-word device g/beg rows (last =
-    #                                this hypothesis's own scan result)
-    lm_sum: float
-    state: object = None           # DFA reverse-NFA state set (grammar)
+    __slots__ = ("words", "rows", "lm_sum", "state")
 
-    def __lt__(self, other):
-        return self.prio > other.prio
+    def __init__(self, words, rows, lm_sum, state):
+        self.words = words          # Tuple[int, ...]
+        self.rows = rows            # Tuple[RowHandle, ...]
+        self.lm_sum = lm_sum
+        self.state = state          # DFA reverse-NFA state set (grammar)
 
 
 class NgramStrategy:
@@ -126,6 +147,7 @@ class NgramStrategy:
         self.tail_word = tail_word
         self.transparent = transparent
         self.cprob = cprob
+        self._probe_cache: Dict = {}
 
     def _pen(self, w: int) -> float:
         return self.pen2 + (float(self.cprob[w])
@@ -145,12 +167,18 @@ class NgramStrategy:
     def lm_add(self, words: Tuple[int, ...], w: int) -> float:
         if self.lm is None or self.wid2lm is None:
             return self._pen(w)
-        wl = int(self.wid2lm[w])
-        if wl < 0:
-            return self.lw2 * -99.0 + self._pen(w)
-        ctx = tuple(int(self.wid2lm[c]) for c in self._ctx(words)
-                    if self.wid2lm[c] >= 0)
-        return self.lw2 * self.lm.logprob(ctx, wl) + self._pen(w)
+        key = (self._ctx(words), w)
+        v = self._probe_cache.get(key)
+        if v is None:
+            wl = int(self.wid2lm[w])
+            if wl < 0:
+                v = self.lw2 * -99.0
+            else:
+                ctx = tuple(int(self.wid2lm[c]) for c in key[0]
+                            if self.wid2lm[c] >= 0)
+                v = self.lw2 * self.lm.logprob(ctx, wl)
+            self._probe_cache[key] = v
+        return v + self._pen(w)
 
     def ctx_key(self, words: Tuple[int, ...]):
         return self._ctx(words)
@@ -162,6 +190,12 @@ class NgramStrategy:
         return state          # always viable (never None)
 
     def is_final(self, w: int, state) -> bool:
+        return w == self.tail_word
+
+    def may_final(self, w: int) -> bool:
+        """State-independent over-approximation of is_final (used for
+        cacheable anchor selection; exact is_final still gates
+        completion at pop time)."""
         return w == self.tail_word
 
 
@@ -195,46 +229,117 @@ class DfaStrategy:
     def is_final(self, w: int, state) -> bool:
         return any(self.dfa.initial[s] for s in state)
 
+    def may_final(self, w: int) -> bool:
+        # grammar vocabularies are small; the cost of one extra
+        # final-frame anchor per word is negligible
+        return True
 
-@dataclass
+
 class _Req:
-    """One word-extension scan request (shared by sibling anchors)."""
+    """One word-extension scan request (shared by sibling anchors;
+    overflow past A_CAND chains a new request — see _ReqPool.add)."""
 
-    b: int
-    w: int
-    parent: Optional[RowHandle]
-    lm_add: float
-    anchors: List[int] = field(default_factory=list)
-    _aset: set = field(default_factory=set)
+    __slots__ = ("b", "w", "parent", "lm", "anchors", "slots",
+                 "elo", "hi")
 
-    def add_anchors(self, ts) -> None:
+    def __init__(self, b, w, parent, lm, elo):
+        self.b = b
+        self.w = w
+        self.parent = parent            # Optional[RowHandle]
+        self.lm = lm
+        self.anchors: List[int] = []
+        self.slots: Dict[int, int] = {}
+        self.elo = elo                  # earliest entry frame needed
+        self.hi = 0                     # latest anchor frame
+
+
+class _ReqPool:
+    """Merges word-extension requests by (utterance, parent row, word)
+    and chains a fresh request when the anchor union overflows A_CAND
+    (ADVICE r3: silent anchor drops lose boundary variants)."""
+
+    def __init__(self):
+        self.reqs: List[_Req] = []
+        self._by_key: Dict[Tuple, List[int]] = {}
+
+    def add(self, b: int, row: int, w: int, parent, lm: float,
+            ts: List[int], elo: int) -> List[Tuple[int, int]]:
+        """Register anchors ts; returns [(req_index, slot)] per t."""
+        key = (b, row, w)
+        ris = self._by_key.get(key)
+        if ris is None:
+            ris = []
+            self._by_key[key] = ris
+        out = []
         for t in ts:
-            if t not in self._aset and len(self.anchors) < A_CAND:
-                self._aset.add(t)
-                self.anchors.append(t)
+            placed = None
+            for ri in ris:
+                r = self.reqs[ri]
+                s = r.slots.get(t)
+                if s is not None:
+                    placed = (ri, s)
+                    break
+                if len(r.anchors) < A_CAND:
+                    s = len(r.anchors)
+                    r.anchors.append(t)
+                    r.slots[t] = s
+                    r.elo = min(r.elo, elo)
+                    r.hi = max(r.hi, t)
+                    placed = (ri, s)
+                    break
+            if placed is None:
+                r = _Req(b, w, parent, lm, elo)
+                ri = len(self.reqs)
+                self.reqs.append(r)
+                ris.append(ri)
+                r.anchors.append(t)
+                r.slots[t] = 0
+                r.hi = t
+                placed = (ri, 0)
+            out.append(placed)
+        return out
 
 
 class ScanDispatcher:
     """Device-resident dispatch of A* rounds: chain tables + per-
     hypothesis g/beg rows stay in HBM; per round the host uploads K
-    (word, parent-row, lm, anchor-frames) tuples and downloads [K, A]
-    anchor scores."""
+    (word, parent-row, lm, window, anchor-frames) tuples and downloads
+    [K, A] anchor scores.
+
+    Requests are grouped by window bucket and chunked by K bucket; all
+    chunks of a round are issued asynchronously before any download
+    blocks, so a round pays ~one link round trip regardless of chunk
+    count.  The row store is preallocated (capacity growth would change
+    the donated argument shapes and force an XLA recompile per growth —
+    ADVICE r3)."""
 
     def __init__(self, tabs: DeviceChainTables, out_ext,
-                 scan_beam: float = 0.0, cap: int = 2048):
+                 scan_beam: float = 0.0, cap: int = 8192):
         self.tabs = tabs
-        self.out_ext = out_ext                  # [B, T, R] device array
-        self.T = int(out_ext.shape[1])
+        B, T, R = out_ext.shape
+        self.out_flat = out_ext.reshape(-1)
+        self.T = int(T)
+        self.R = int(R)
         self.n_scans = 0
+        self.scan_beam = float(scan_beam)
         self.pool = _RowPool(cap)
         self.g_store = jnp.full((cap, self.T), LOG_ZERO, jnp.float32)
         self.beg_store = jnp.zeros((cap, self.T), jnp.int32)
-        from functools import partial
-        self._fn = jax.jit(partial(scan_words_store,
-                                   scan_beam=float(scan_beam)),
-                           donate_argnums=(0, 1))
+        self._fns: Dict[int, object] = {}
+
+    def _fn(self, W: int):
+        fn = self._fns.get(W)
+        if fn is None:
+            from functools import partial
+            fn = jax.jit(partial(scan_words_store_win, W=W, T=self.T,
+                                 R=self.R, scan_beam=self.scan_beam),
+                         donate_argnums=(0, 1))
+            self._fns[W] = fn
+        return fn
 
     def _grow(self) -> None:
+        # fallback only (preallocation should cover normal runs); a
+        # growth changes donated shapes => one recompile per doubling
         cap = self.g_store.shape[0]
         self.g_store = jnp.concatenate(
             [self.g_store,
@@ -248,49 +353,68 @@ class ScanDispatcher:
         """Returns (handles, ganch, banch, sanch), the latter three
         [len(reqs), A_CAND]: g / refined-begin / seed-at-entry values at
         each request's anchor frames."""
-        handles: List[RowHandle] = []
-        ganchs, banchs, sanchs = [], [], []
-        dead_w = self.tabs.n_words          # pad chain scores LOG_ZERO
-        for ofs in range(0, len(reqs), K_BUCKETS[-1]):
-            chunk = reqs[ofs:ofs + K_BUCKETS[-1]]
-            K = len(chunk)
-            Kb = _bucket_k(K)
-            wids = np.full(Kb, dead_w, np.int32)
-            parents = np.full(Kb, -1, np.int32)
-            lm = np.zeros(Kb, np.float32)
-            bidx = np.zeros(Kb, np.int32)
-            rows = np.zeros(Kb, np.int32)      # pads write scratch row 0
-            anchors = np.zeros((Kb, A_CAND), np.int32)
-            chunk_handles = []
-            for i, r in enumerate(chunk):
-                wids[i] = r.w
-                parents[i] = r.parent.row if r.parent is not None else -1
-                lm[i] = r.lm_add
-                bidx[i] = r.b
-                if not self.pool.free:
-                    self._grow()
-                h = RowHandle(self.pool.alloc(), self.pool)
-                chunk_handles.append(h)
-                rows[i] = h.row
-                if r.anchors:
-                    anchors[i, :len(r.anchors)] = r.anchors
-            self.g_store, self.beg_store, ganch, banch, sanch = self._fn(
-                self.g_store, self.beg_store,
-                self.tabs.loc, self.tabs.ent, self.tabs.ext,
-                self.tabs.sidx,
-                jnp.asarray(wids), jnp.asarray(parents), jnp.asarray(lm),
-                jnp.asarray(bidx), jnp.asarray(rows),
-                jnp.asarray(anchors), self.out_ext)
-            ganchs.append(np.asarray(ganch[:K]))
-            banchs.append(np.asarray(banch[:K]))
-            sanchs.append(np.asarray(sanch[:K]))
-            handles.extend(chunk_handles)
-            self.n_scans += K
-        if not ganchs:
-            z = np.zeros((0, A_CAND), np.float32)
-            return handles, z, z.astype(np.int32), z
-        return (handles, np.concatenate(ganchs),
-                np.concatenate(banchs), np.concatenate(sanchs))
+        n = len(reqs)
+        handles: List[Optional[RowHandle]] = [None] * n
+        T = self.T
+        # window bucket per request
+        wb = np.empty(n, np.int32)
+        t0s = np.empty(n, np.int32)
+        for i, r in enumerate(reqs):
+            elo = 0 if r.parent is None else max(0, r.elo)
+            span = r.hi - elo + 1
+            W = bucket_w(span, T)
+            wb[i] = W
+            t0s[i] = min(elo, T - W)
+        ganch = np.full((n, A_CAND), LOG_ZERO, np.float32)
+        banch = np.zeros((n, A_CAND), np.int32)
+        sanch = np.full((n, A_CAND), LOG_ZERO, np.float32)
+        pending = []                    # (indices, dev_ganch/banch/sanch)
+        dead_w = self.tabs.n_words      # pad chain scores LOG_ZERO
+        for W in sorted(set(wb.tolist())):
+            idxs = np.nonzero(wb == W)[0]
+            for ofs in range(0, len(idxs), K_BUCKETS[-1]):
+                chunk = idxs[ofs:ofs + K_BUCKETS[-1]]
+                K = len(chunk)
+                Kb = _bucket_k(K)
+                wids = np.full(Kb, dead_w, np.int32)
+                parents = np.full(Kb, -1, np.int32)
+                lm = np.zeros(Kb, np.float32)
+                bidx = np.zeros(Kb, np.int32)
+                rows = np.zeros(Kb, np.int32)   # pads write scratch row 0
+                t0 = np.zeros(Kb, np.int32)
+                anchors = np.zeros((Kb, A_CAND), np.int32)
+                for j, ri in enumerate(chunk):
+                    r = reqs[ri]
+                    wids[j] = r.w
+                    parents[j] = (r.parent.row if r.parent is not None
+                                  else -1)
+                    lm[j] = r.lm
+                    bidx[j] = r.b
+                    t0[j] = t0s[ri]
+                    if not self.pool.free:
+                        self._grow()
+                    h = RowHandle(self.pool.alloc(), self.pool)
+                    handles[ri] = h
+                    rows[j] = h.row
+                    if r.anchors:
+                        anchors[j, :len(r.anchors)] = r.anchors
+                self.g_store, self.beg_store, ga, ba, sa = self._fn(W)(
+                    self.g_store, self.beg_store,
+                    self.tabs.loc, self.tabs.ent, self.tabs.ext,
+                    self.tabs.sidx,
+                    jnp.asarray(wids), jnp.asarray(parents),
+                    jnp.asarray(lm), jnp.asarray(bidx),
+                    jnp.asarray(rows), jnp.asarray(t0),
+                    jnp.asarray(anchors), self.out_flat)
+                pending.append((chunk, K, ga, ba, sa))
+                self.n_scans += K
+        # block on downloads only after every chunk is in flight: one
+        # link round trip per round, not per chunk
+        for chunk, K, ga, ba, sa in pending:
+            ganch[chunk] = np.asarray(ga[:K])
+            banch[chunk] = np.asarray(ba[:K])
+            sanch[chunk] = np.asarray(sa[:K])
+        return handles, ganch, banch, sanch
 
     def fetch_beg(self, row_ids: List[int]) -> np.ndarray:
         """[n, T] beg rows for final backtrace (one gather dispatch)."""
@@ -299,11 +423,26 @@ class ScanDispatcher:
         return np.asarray(self.beg_store[jnp.asarray(row_ids)])
 
 
+class _Cands:
+    """Hypothesis-independent candidate extensions at one boundary
+    frame: per word, its anchor end-frames (best trellis atom per
+    frame), earliest trellis begin (window lo), and the anchor->slot-m
+    map for stack bookkeeping."""
+
+    __slots__ = ("words", "anchor_ts", "t2m", "lo")
+
+    def __init__(self, words, anchor_ts, t2m, lo):
+        self.words = words          # List[int]
+        self.anchor_ts = anchor_ts  # List[List[int]] per word
+        self.t2m = t2m              # List[Dict[int, int]]
+        self.lo = lo                # List[int] earliest begin per word
+
+
 @dataclass
 class _UttState:
     lattice: TrellisLattice
-    stack: List[RHyp] = field(default_factory=list)
-    results: List[Tuple[RHyp, float]] = field(default_factory=list)
+    stack: List[tuple] = field(default_factory=list)
+    results: List[Tuple[_Hyp, float]] = field(default_factory=list)
     seen: Dict = field(default_factory=dict)
     # pass-2 word graph accumulator: (word, begin, end) -> (cum, am, lm)
     # with dynamic merge keeping the best cumulative score (reference
@@ -314,82 +453,138 @@ class _UttState:
     # rather than pops so sibling boundary anchors don't burn the budget)
     len_seen: Dict[int, set] = field(default_factory=dict)
     n_pop: int = 0
-    # A* completion estimate: rest[t] = best AM-only trellis
-    # continuation covering frames t+1..T-1 (see _suffix_estimate)
+    # A* completion estimate: rest[t] = best trellis continuation
+    # (AM + pass-1 LM) covering frames t+1..T-1 (_suffix_estimate)
     rest: Optional[np.ndarray] = None
+    cands: Dict[int, Optional[_Cands]] = field(default_factory=dict)
+    # atom arrays sorted by begin frame (candidate lookup)
+    ab: Optional[np.ndarray] = None     # begin frames (sorted)
+    ae: Optional[np.ndarray] = None     # end frames
+    am_: Optional[np.ndarray] = None    # trellis slot m
+    aw: Optional[np.ndarray] = None     # word ids
+    asc: Optional[np.ndarray] = None    # pass-1 cumulative scores
     active: bool = True
 
 
-def _suffix_estimate(lat: TrellisLattice, lr: int) -> np.ndarray:
-    """rest[t] = best acoustic-only score of trellis words covering
+def _atom_arrays(st: _UttState) -> None:
+    lat = st.lattice
+    t_idx, m_idx = np.nonzero(lat.word >= 0)
+    b = lat.begin[t_idx, m_idx].astype(np.int64)
+    order = np.argsort(b, kind="stable")
+    st.ab = b[order]
+    st.ae = t_idx[order].astype(np.int64)
+    st.am_ = m_idx[order].astype(np.int64)
+    st.aw = lat.word[t_idx, m_idx][order].astype(np.int64)
+    st.asc = lat.score[t_idx, m_idx][order].astype(np.float64)
+
+
+def _suffix_estimate(st: _UttState, lr: int) -> np.ndarray:
+    """rest[t] = best trellis-path score (AM + pass-1 LM) covering
     frames t+1 .. T-1 (backward DP over pass-1 atoms).
 
-    This is the forward mirror of the reference's completion estimate
-    (backtrellis backscores, search.h NODE.score): AM-only keeps it
-    optimistic, so the A* never buries a path whose pass-1 LM
-    attribution was wrong — exactly the paths the re-scan pass exists
-    to recover.  The +-lr window matches the next-word lookup, so any
-    anchor the search can extend has a finite estimate."""
+    This mirrors the reference's completion estimate exactly: the
+    backtrellis atom scores it adds to a hypothesis's g[] are pass-1
+    FULL scores, LM included (`search.h` NODE score, ngram_decode.c:334
+    get_backtrellis_words).  Round 3 used an AM-only estimate to stay
+    optimistic about pass-1 LM misattribution; under lm_weight ~8 that
+    degenerates the A* into breadth-first over the entire word-envelope
+    budget (~13k scans/utterance).  The +-lr window matches the
+    next-word lookup, so any anchor the search can extend has a finite
+    estimate."""
+    lat = st.lattice
     T = lat.T
+    # per-atom incremental score = cumulative - predecessor cumulative
+    # (includes the atom's pass-1 LM portion)
+    prev = lat.prev[st.ae.astype(np.int64), st.am_]
+    pt, pm = np.divmod(np.maximum(prev, 0), lat.M)
+    pscore = np.where(prev >= 0, lat.score[pt, pm], 0.0)
+    inc = st.asc - pscore
+    ab, ae = st.ab, st.ae
     rest = np.full(T + 1, -np.inf)
     rest[T - 1] = 0.0            # nothing left after the final frame
     for t in range(T - 2, -1, -1):
-        best = -np.inf
-        for b in range(max(0, t + 1 - lr), t + 2 + lr):
-            for (e, m) in lat.by_begin.get(b, []):
-                if e <= t or not np.isfinite(rest[e]):
-                    continue
-                v = lat.am_of(e, m) + rest[e]
-                if v > best:
-                    best = v
+        i0 = np.searchsorted(ab, t + 1 - lr)
+        i1 = np.searchsorted(ab, t + 1 + lr, side="right")
+        if i1 > i0:
+            e = ae[i0:i1]
+            v = inc[i0:i1] + rest[e]
+            v = np.where(e > t, v, -np.inf)
+            best = v.max() if len(v) else -np.inf
+        else:
+            best = -np.inf
         rest[t] = best
     return rest[:T]
 
 
-def _window_atoms(lattice: TrellisLattice, begin_target: int, lr: int):
-    """Trellis atoms whose word BEGINS within +-lr of begin_target,
-    grouped by word id (reference ngram_nextwords backtrellis window)."""
-    by_word: Dict[int, List[Tuple[int, int]]] = {}
-    for b in range(max(0, begin_target - lr), begin_target + lr + 1):
-        for (t, m) in lattice.by_begin.get(b, []):
-            if t < begin_target:      # word must end after the boundary
-                continue
-            w = int(lattice.word[t, m])
-            by_word.setdefault(w, []).append((t, m))
-    return by_word
-
-
-def _cap_words(lattice: TrellisLattice, by_word: Dict, limit: int):
-    if len(by_word) <= limit:
-        return by_word
-    scored = sorted(
-        by_word.items(),
-        key=lambda kv: -max(float(lattice.score[t, m]) for t, m in kv[1]))
-    return dict(scored[:limit])
-
-
-def _anchor_candidates(lattice: TrellisLattice,
-                       atom_list: List[Tuple[int, int]],
-                       can_final: bool):
-    """Candidate boundary frames for one (hypothesis, word) extension:
-    distinct atom end frames ranked by trellis score (the host picks
-    candidates BEFORE seeing g; the true g+rest ranking trims them to
-    MAX_ANCHORS after the scan returns).  can_final always includes the
-    final frame — the completion anchor."""
-    best_at: Dict[int, Tuple[float, int]] = {}
-    for (t, m) in atom_list:
-        s = float(lattice.score[t, m])
-        cur = best_at.get(t)
-        if cur is None or s > cur[0]:
-            best_at[t] = (s, m)
-    ts = sorted(best_at, key=lambda t: -best_at[t][0])[:A_CAND]
-    t2m = {t: best_at[t][1] for t in ts}
-    if can_final and lattice.T - 1 not in t2m:
-        if len(ts) >= A_CAND:
-            ts = ts[:-1]
-        ts.append(lattice.T - 1)
-        t2m[lattice.T - 1] = 0
-    return ts, t2m
+def _cand_for(st: _UttState, tau: int, lr: int, strategy) -> \
+        Optional[_Cands]:
+    """Candidate word extensions whose begin frame falls within +-lr of
+    tau (reference ngram_nextwords backtrellis window; lr=0 for the
+    sentence-initial lookup).  Hypothesis-independent => cached per tau."""
+    cs = st.cands.get((tau, lr))
+    if cs is not None or (tau, lr) in st.cands:
+        return cs
+    lat = st.lattice
+    i0 = np.searchsorted(st.ab, tau - lr)
+    i1 = np.searchsorted(st.ab, tau + lr, side="right")
+    cs = None
+    if i1 > i0:
+        e = st.ae[i0:i1]
+        ok = e >= tau              # word must end after the boundary
+        if ok.any():
+            w = st.aw[i0:i1][ok]
+            e = e[ok]
+            m = st.am_[i0:i1][ok]
+            b = st.ab[i0:i1][ok]
+            # rank words and anchor end-frames by the FULL-PATH estimate
+            # through the atom (cumulative + suffix), not the raw
+            # cumulative score: cumulative alone decreases with t, so it
+            # systematically crowds later (longer-span) end frames out
+            # of the A_CAND cap — exactly the boundaries the re-scan
+            # exists to recover (e.g. an iwsp word absorbing an
+            # inter-word pause ends ~15 frames later than the short
+            # variants).  Mirrors the reference ranking by trellis score
+            # + backward estimate (ngram_decode.c:192).
+            s = st.asc[i0:i1][ok] + st.rest[e]
+            # group by word
+            per: Dict[int, Dict[int, Tuple[float, int]]] = {}
+            best_s: Dict[int, float] = {}
+            lo_w: Dict[int, int] = {}
+            for wi, ei, mi, bi, si in zip(w.tolist(), e.tolist(),
+                                          m.tolist(), b.tolist(),
+                                          s.tolist()):
+                d = per.get(wi)
+                if d is None:
+                    d = {}
+                    per[wi] = d
+                    best_s[wi] = si
+                    lo_w[wi] = bi
+                else:
+                    if si > best_s[wi]:
+                        best_s[wi] = si
+                    if bi < lo_w[wi]:
+                        lo_w[wi] = bi
+                cur = d.get(ei)
+                if cur is None or si > cur[0]:
+                    d[ei] = (si, mi)
+            words = sorted(per, key=lambda k: -best_s[k])[:MAX_NEXT_WORDS]
+            anchor_ts, t2m, lo = [], [], []
+            Tl = lat.T
+            for wi in words:
+                d = per[wi]
+                ts = sorted(d, key=lambda t: -d[t][0])[:A_CAND]
+                m_of = {t: d[t][1] for t in ts}
+                if strategy.may_final(wi) and Tl - 1 not in m_of:
+                    if len(ts) >= A_CAND:
+                        ts = ts[:-1]
+                    ts.append(Tl - 1)
+                    m_of[Tl - 1] = 0
+                anchor_ts.append(ts)
+                t2m.append(m_of)
+                lo.append(min(lo_w[wi], tau - lr) - WIN_PAD)
+            cs = _Cands(words, anchor_ts, t2m, lo)
+    st.cands[(tau, lr)] = cs
+    return cs
 
 
 def rescan_nbest_batch(
@@ -407,10 +602,10 @@ def rescan_nbest_batch(
     utterance — the pass-2 word graph accumulated during search
     (reference wordgraph_assign/merge, graphout.c:1901,2020)."""
     lr = max(0, int(cfg.lookup_range))
+    seqc = itertools.count()
     utts: List[Optional[_UttState]] = []
-    reqs: List[_Req] = []
-    req_of: Dict[Tuple[int, int, int], int] = {}
-    metas = []   # (b, parent RHyp|None, w, anchor_ts, t2m, lm, state, ri)
+    pool = _ReqPool()
+    metas = []     # (b, parent_hyp|None, w, ts, t2m, lm, state, slots)
     for b, lat in enumerate(lattices):
         if lat is None or lat.T == 0:
             utts.append(None)
@@ -419,36 +614,39 @@ def rescan_nbest_batch(
                 np.max(np.where(lat.word >= 0, lat.score, -np.inf))):
             utts.append(None)
             continue
-        st = _UttState(lattice=lat, rest=_suffix_estimate(lat, lr))
+        st = _UttState(lattice=lat)
+        _atom_arrays(st)
+        st.rest = _suffix_estimate(st, lr)
         utts.append(st)
-        by_word = _cap_words(lat, _window_atoms(lat, 0, 0), MAX_NEXT_WORDS)
-        for w, atom_list in by_word.items():
+        cs = _cand_for(st, 0, 0, strategy)
+        if cs is None:
+            continue
+        for ci, w in enumerate(cs.words):
             state = strategy.step_state(strategy.init_state(), w)
             if state is None:
                 continue
             lm = strategy.lm_add((), w)
-            can_fin = strategy.is_final(w, state)
-            ts, t2m = _anchor_candidates(lat, atom_list, can_fin)
-            ri = len(reqs)
-            reqs.append(_Req(b, w, None, lm))
-            reqs[ri].add_anchors(ts)
-            metas.append((b, None, w, ts, t2m, lm, state, ri))
+            ts = cs.anchor_ts[ci]
+            slots = pool.add(b, -1, w, None, lm, ts, 0)
+            metas.append((b, None, w, ts, cs.t2m[ci], lm, state, slots))
 
     collect = graphs is not None
     while True:
+        reqs = pool.reqs
         if reqs:
             handles, ganch, banch, sanch = dispatcher.run(reqs)
-            for (b, parent, w, ts, t2m, lm, state, ri) in metas:
-                req = reqs[ri]
-                gmap = dict(zip(req.anchors, ganch[ri]))
-                h = RHyp(
-                    prio=0.0, atom=0, gval=LOG_ZERO,
+            for (b, parent, w, ts, t2m, lm, state, slots) in metas:
+                st = utts[b]
+                h0 = handles[slots[0][0]]
+                hyp = _Hyp(
                     words=(parent.words + (w,)) if parent else (w,),
-                    rows=(parent.rows + (handles[ri],)) if parent
-                    else (handles[ri],),
+                    rows=(parent.rows + (h0,)) if parent
+                    else (h0,),
                     lm_sum=(parent.lm_sum + lm) if parent else lm,
                     state=state)
-                _push_scored(utts[b], h, ts, t2m, gmap, cfg)
+                _push_scored(st, hyp, ts, t2m,
+                             [float(ganch[ri][s]) for ri, s in slots],
+                             cfg, seqc)
             if collect:
                 for ri, req in enumerate(reqs):
                     gw = utts[req.b].gwords
@@ -460,16 +658,30 @@ def rescan_nbest_batch(
                         am = gv - float(sanch[ri][ai])
                         cur = gw.get(key)
                         if cur is None or gv > cur[0]:
-                            gw[key] = (gv, am, req.lm_add)
-        reqs, metas = [], []
-        req_of = {}
+                            gw[key] = (gv, am, req.lm)
+        pool = _ReqPool()
+        meta_of: Dict[Tuple, list] = {}
         for b, st in enumerate(utts):
             if st is None or not st.active:
                 continue
             lat = st.lattice
+            M, T = lat.M, lat.T
+            # A*-correct termination for batched pops: a completion is
+            # only FINAL once nothing on the stack estimates above the
+            # nbest-th completed score (the serial reference pops
+            # strictly best-first so acceptance order IS score order,
+            # search_bestfirst_main.c:1645; a batched round pops below
+            # the frontier, so a worse hypothesis can complete while a
+            # better one still waits on its scan)
+            if len(st.results) >= cfg.nbest:
+                kth = sorted((s for (_, s) in st.results),
+                             reverse=True)[cfg.nbest - 1]
+                if not st.stack or -st.stack[0][0] <= kth + 1e-6:
+                    st.active = False
+                    continue
             n_popped = 0
             while (st.stack and n_popped < POPS_PER_ROUND and st.active):
-                h = heapq.heappop(st.stack)
+                _, _, hyp, t, m, gval = heapq.heappop(st.stack)
                 # -m counts EXPANDED hypotheses (reference hypo
                 # expansion overflow); anchor-duplicate and final pops
                 # are bookkeeping, not expansions
@@ -477,54 +689,68 @@ def rescan_nbest_batch(
                         or dispatcher.n_scans >= MAX_SCANS * len(lattices)):
                     st.active = False
                     break
-                t, m = divmod(h.atom, lat.M)
-                if (t == lat.T - 1
-                        and strategy.is_final(h.words[-1], h.state)
-                        and h.gval > NEG_HALF):
-                    # completion: popped at its own final-frame anchor,
-                    # so the A* order reflects the exact full score
-                    # (reference ngram/dfa_acceptable); deduped by word
-                    # sequence, not by the seen-class below
-                    if not any(r.words == h.words
+                if (t == T - 1
+                        and strategy.is_final(hyp.words[-1], hyp.state)
+                        and gval > NEG_HALF):
+                    # completion: popped at its own final-frame anchor
+                    # with prio == exact score (rest[T-1] = 0); record
+                    # it and stop popping BELOW it this round — pending
+                    # higher-prio expansions may still beat it, so the
+                    # stack-top check above decides when it is final
+                    if not any(r.words == hyp.words
                                for (r, _) in st.results):
-                        st.results.append((h, h.gval))
+                        st.results.append((hyp, gval))
                         if len(st.results) >= cfg.nbest:
-                            st.active = False
+                            break
                     continue
-                key = (h.atom, strategy.ctx_key(h.words))
+                key = (t * M + m, strategy.ctx_key(hyp.words))
                 cnt = st.seen.get(key, 0)
                 if cnt >= cfg.nbest:
                     continue
                 st.seen[key] = cnt + 1
                 if cfg.enveloped:
-                    L = len(h.words)
+                    L = len(hyp.words)
                     s = st.len_seen.setdefault(L, set())
-                    if h.words not in s:
+                    if hyp.words not in s:
                         if len(s) >= cfg.word_envelope:
                             continue
-                        s.add(h.words)
+                        s.add(hyp.words)
                 n_popped += 1
                 st.n_pop += 1
-                by_word = _cap_words(lat, _window_atoms(lat, t + 1, lr),
-                                     MAX_NEXT_WORDS)
-                for w, atom_list in by_word.items():
-                    state = strategy.step_state(h.state, w)
+                cs = _cand_for(st, t + 1, lr, strategy)
+                if cs is None:
+                    continue
+                row = hyp.rows[-1].row
+                for ci, w in enumerate(cs.words):
+                    mkey = (b, row, w)
+                    meta = meta_of.get(mkey)
+                    if meta is not None:
+                        # same (parent, word) popped at a sibling
+                        # anchor: merge the new anchor frames instead of
+                        # duplicating the scan and its stack pushes
+                        ts_new = [t_ for t_ in cs.anchor_ts[ci]
+                                  if t_ not in meta[4]]
+                        if ts_new:
+                            meta[7].extend(pool.add(
+                                b, row, w, hyp.rows[-1], meta[5],
+                                ts_new, cs.lo[ci]))
+                            meta[3].extend(ts_new)
+                            for t_ in ts_new:
+                                meta[4][t_] = cs.t2m[ci][t_]
+                        continue
+                    state = strategy.step_state(hyp.state, w)
                     if state is None:
                         continue
-                    lm = strategy.lm_add(h.words, w)
-                    can_fin = strategy.is_final(w, state)
-                    ts, t2m = _anchor_candidates(lat, atom_list, can_fin)
+                    lm = strategy.lm_add(hyp.words, w)
+                    ts = list(cs.anchor_ts[ci])
                     # sibling anchors share the parent's g row; one
                     # scan serves them all (anchor frames are merged)
-                    rkey = (b, h.rows[-1].row, w)
-                    ri = req_of.get(rkey)
-                    if ri is None:
-                        ri = len(reqs)
-                        req_of[rkey] = ri
-                        reqs.append(_Req(b, w, h.rows[-1], lm))
-                    reqs[ri].add_anchors(ts)
-                    metas.append((b, h, w, ts, t2m, lm, state, ri))
-        if not reqs:
+                    slots = pool.add(b, row, w, hyp.rows[-1], lm, ts,
+                                     cs.lo[ci])
+                    meta_of[mkey] = [b, hyp, w, ts, dict(cs.t2m[ci]),
+                                     lm, state, slots]
+        metas = list(meta_of.values())
+        if not pool.reqs:
             # no expansions this round; stop only when nothing is left
             # to pop (a round can be all-final or all-dead-end pops)
             if not any(st is not None and st.active and st.stack
@@ -537,41 +763,38 @@ def rescan_nbest_batch(
     return _finalize_all(utts, dispatcher, cfg)
 
 
-def _push_scored(st: _UttState, h: RHyp, anchor_ts: List[int],
-                 t2m: Dict[int, int], gmap: Dict[int, float],
-                 cfg: SearchConfig) -> None:
-    """Push one hypothesis per viable anchor frame (the reference keeps
+def _push_scored(st: _UttState, hyp: _Hyp, anchor_ts: List[int],
+                 t2m: Dict[int, int], gvals: List[float],
+                 cfg: SearchConfig, seqc) -> None:
+    """Push one stack entry per viable anchor frame (the reference keeps
     a NEXTWORD.tre trellis atom per expansion, ngram_decode.c:566): the
     anchor sets the pass-1 completion estimate AND centres the next
     lookup window, so collapsing anchors would lose continuations whose
     boundary differs from the best-scoring one.  All anchors share the
     same device g/beg row (one scan)."""
     lat = st.lattice
+    rest = st.rest
     scored = []
-    for t in anchor_ts:
-        gt = float(gmap.get(t, LOG_ZERO))
+    for t, gt in zip(anchor_ts, gvals):
         if gt <= NEG_HALF:
             continue
-        r = float(st.rest[t])
+        r = rest[t]
         if not np.isfinite(r):
             continue
-        scored.append((gt + r, t))
+        scored.append((gt + r, t, gt))
     scored.sort(reverse=True)
     keep = scored[:MAX_ANCHORS]
     fin = [s for s in scored if s[1] == lat.T - 1]
     if fin and fin[0] not in keep:
-        keep = keep[:-1] + fin      # completion anchor always kept
-    for i, (prio, t) in enumerate(keep):
-        hh = h if i == 0 else RHyp(prio, 0, 0.0, h.words, h.rows,
-                                   h.lm_sum, h.state)
-        hh.prio = prio
-        hh.atom = t * lat.M + t2m[t]
-        hh.gval = float(gmap[t])
-        if len(st.stack) >= cfg.stack_size * 4:
-            st.stack.sort()
-            del st.stack[cfg.stack_size:]
-            heapq.heapify(st.stack)
-        heapq.heappush(st.stack, hh)
+        keep = keep[:-1] + fin[:1]      # completion anchor always kept
+    stack = st.stack
+    M = lat.M
+    for prio, t, gt in keep:
+        if len(stack) >= cfg.stack_size * 4:
+            stack.sort()
+            del stack[cfg.stack_size:]
+            heapq.heapify(stack)
+        heapq.heappush(stack, (-prio, next(seqc), hyp, t, t2m[t], gt))
 
 
 def _finalize_all(utts: List[Optional[_UttState]],

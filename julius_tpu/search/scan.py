@@ -37,12 +37,24 @@ NEG_HALF = LOG_ZERO / 2
 #: K buckets for one scan dispatch (pads up; keeps jit cache small)
 K_BUCKETS = (16, 64, 256, 1024)
 
+#: frame-window buckets for windowed dispatches (scan_words_store_win);
+#: spans past the last bucket scan the full utterance
+W_BUCKETS = (64, 128, 256, 512)
+
 
 def bucket_k(k: int) -> int:
     for b in K_BUCKETS:
         if k <= b:
             return b
     return -(-k // K_BUCKETS[-1]) * K_BUCKETS[-1]
+
+
+def bucket_w(span: int, T: int) -> int:
+    """Window bucket covering `span` frames (capped at the utterance)."""
+    for b in W_BUCKETS:
+        if span <= b:
+            return min(b, T)
+    return T
 
 
 class ChainCache:
@@ -297,6 +309,115 @@ def scan_words_store(g_store: jnp.ndarray, beg_store: jnp.ndarray,
     # seed value at the winning entry: local word score for the pass-2
     # word graph = ganch - sanch (graphout.c wordgraph_assign role)
     sanch = jnp.take_along_axis(sv, anchors, axis=1)          # [K, A]
+    return g_store, beg_store, ganch, banch, sanch
+
+
+def _scan_core_win(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
+                   seed: jnp.ndarray, outw: jnp.ndarray, t0: jnp.ndarray):
+    """Windowed seeded-Viterbi: like `_scan_core` but over a W-frame
+    window per chain (absolute start frame t0[k]) with the outprob rows
+    pre-gathered into `outw [K, W, N]` — the scan body is pure
+    shifted-max arithmetic, no gathers (TPU small-gathers inside a scan
+    step are latency-bound serial loops; one fused [K, W, N] gather
+    before the scan replaces W of them)."""
+    K, KLp1, N = loc.shape
+    W = seed.shape[1]
+
+    def shift(x, k, fill):
+        if k == 0:
+            return x
+        pad = jnp.full((K, k), fill, x.dtype)
+        return jnp.concatenate([pad, x[:, :-k]], axis=1)
+
+    def step(carry, xs):
+        sc, efr, sv = carry
+        seed_t, out_t, i = xs                    # [K], [K, N], scalar
+        t_abs = t0 + i                           # [K] absolute frame
+        cands = [shift(sc, k, LOG_ZERO) + loc[:, k, :]
+                 for k in range(KLp1)]
+        mx = cands[0]
+        for c in cands[1:]:
+            mx = jnp.maximum(mx, c)
+        nefr = efr
+        nsv = sv
+        taken = cands[0] >= mx
+        for k in range(1, KLp1):
+            hit = (cands[k] >= mx) & ~taken
+            taken = taken | hit
+            nefr = jnp.where(hit, shift(efr, k, 0), nefr)
+            nsv = jnp.where(hit, shift(sv, k, LOG_ZERO), nsv)
+        ent_t = seed_t[:, None] + ent            # [K, N]
+        enter = ent_t > mx
+        base = jnp.maximum(ent_t, mx)
+        nsc = jnp.where(base > NEG_HALF, base + out_t, LOG_ZERO)
+        nefr = jnp.where(enter, t_abs[:, None], nefr)
+        nsv = jnp.where(enter, seed_t[:, None], nsv)
+        endv = jnp.where(nsc > NEG_HALF, nsc + ext, LOG_ZERO)
+        an = jnp.argmax(endv, axis=1)
+        g_t = jnp.take_along_axis(endv, an[:, None], axis=1)[:, 0]
+        b_t = jnp.take_along_axis(nefr, an[:, None], axis=1)[:, 0]
+        s_t = jnp.take_along_axis(nsv, an[:, None], axis=1)[:, 0]
+        return (nsc, nefr, nsv), (g_t, b_t, s_t)
+
+    sc0 = jnp.full((K, N), LOG_ZERO, jnp.float32)
+    efr0 = jnp.zeros((K, N), jnp.int32)
+    sv0 = jnp.full((K, N), LOG_ZERO, jnp.float32)
+    xs = (seed.T, outw.transpose(1, 0, 2), jnp.arange(W, dtype=jnp.int32))
+    _, (g, beg, sv) = jax.lax.scan(step, (sc0, efr0, sv0), xs)
+    return g.T, beg.T, sv.T
+
+
+def scan_words_store_win(g_store: jnp.ndarray, beg_store: jnp.ndarray,
+                         loc_all: jnp.ndarray, ent_all: jnp.ndarray,
+                         ext_all: jnp.ndarray, sidx_all: jnp.ndarray,
+                         wids: jnp.ndarray, parents: jnp.ndarray,
+                         lm_adds: jnp.ndarray, bidx: jnp.ndarray,
+                         out_rows: jnp.ndarray, t0: jnp.ndarray,
+                         anchors: jnp.ndarray, out_flat: jnp.ndarray,
+                         W: int, T: int, R: int,
+                         scan_beam: float = 0.0):
+    """Windowed device-resident A* round (see `scan_words_store`).
+
+    Each chain k scans only frames [t0[k], t0[k] + W): words span ~30
+    frames while utterances span hundreds, so clipping the scan to a
+    static window around the word's trellis span is a ~T/W device-time
+    saving per round (the reference's scan_word walks only the word's
+    frames for the same reason, search_bestfirst_v1.c:589).  Callers
+    guarantee t0 + W <= T.  anchors are ABSOLUTE frames; anchors outside
+    the window return LOG_ZERO.  g/beg rows are written only inside the
+    window (rows start LOG_ZERO, so out-of-window frames stay dead).
+
+    out_flat = out_ext.reshape(-1) for a [B, T, R] outprob cache.
+    Returns (g_store', beg_store', ganch, banch, sanch) like
+    `scan_words_store`.
+    """
+    K = wids.shape[0]
+    loc = loc_all[wids]
+    ent = ent_all[wids]
+    ext = ext_all[wids]
+    sidx = sidx_all[wids]
+    idx_t = t0[:, None] + jnp.arange(W, dtype=jnp.int32)      # [K, W]
+    prow = jnp.maximum(parents, 0)
+    pgw = g_store[prow[:, None], jnp.maximum(idx_t - 1, 0)]   # [K, W]
+    pgw = jnp.where(idx_t >= 1, pgw, LOG_ZERO)
+    ext_seed = pgw + lm_adds[:, None]
+    if scan_beam > 0.0:
+        m = jnp.max(ext_seed, axis=1, keepdims=True)
+        ext_seed = jnp.where(
+            (m > NEG_HALF) & (ext_seed < m - scan_beam),
+            LOG_ZERO, ext_seed)
+    init_seed = jnp.where(idx_t == 0, lm_adds[:, None], LOG_ZERO)
+    seed = jnp.where(parents[:, None] >= 0, ext_seed, init_seed)
+    flat = (bidx[:, None] * T + idx_t) * R                    # [K, W]
+    outw = out_flat[flat[:, :, None] + sidx[:, None, :]]      # [K, W, N]
+    g, beg, sv = _scan_core_win(loc, ent, ext, seed, outw, t0)
+    g_store = g_store.at[out_rows[:, None], idx_t].set(g)
+    beg_store = beg_store.at[out_rows[:, None], idx_t].set(beg)
+    rel = jnp.clip(anchors - t0[:, None], 0, W - 1)
+    ok = (anchors >= t0[:, None]) & (anchors < t0[:, None] + W)
+    ganch = jnp.where(ok, jnp.take_along_axis(g, rel, axis=1), LOG_ZERO)
+    banch = jnp.where(ok, jnp.take_along_axis(beg, rel, axis=1), 0)
+    sanch = jnp.where(ok, jnp.take_along_axis(sv, rel, axis=1), LOG_ZERO)
     return g_store, beg_store, ganch, banch, sanch
 
 
