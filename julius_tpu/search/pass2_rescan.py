@@ -380,7 +380,8 @@ class ScanDispatcher:
                 parents = np.full(Kb, -1, np.int32)
                 lm = np.zeros(Kb, np.float32)
                 bidx = np.zeros(Kb, np.int32)
-                rows = np.zeros(Kb, np.int32)   # pads write scratch row 0
+                # pads point past the store; their writes are dropped
+                rows = np.full(Kb, self.pool.cap, np.int32)
                 t0 = np.zeros(Kb, np.int32)
                 anchors = np.zeros((Kb, A_CAND), np.int32)
                 for j, ri in enumerate(chunk):
@@ -546,43 +547,41 @@ def _cand_for(st: _UttState, tau: int, lr: int, strategy) -> \
             # variants).  Mirrors the reference ranking by trellis score
             # + backward estimate (ngram_decode.c:192).
             s = st.asc[i0:i1][ok] + st.rest[e]
-            # group by word
-            per: Dict[int, Dict[int, Tuple[float, int]]] = {}
-            best_s: Dict[int, float] = {}
-            lo_w: Dict[int, int] = {}
-            for wi, ei, mi, bi, si in zip(w.tolist(), e.tolist(),
-                                          m.tolist(), b.tolist(),
-                                          s.tolist()):
-                d = per.get(wi)
-                if d is None:
-                    d = {}
-                    per[wi] = d
-                    best_s[wi] = si
-                    lo_w[wi] = bi
-                else:
-                    if si > best_s[wi]:
-                        best_s[wi] = si
-                    if bi < lo_w[wi]:
-                        lo_w[wi] = bi
-                cur = d.get(ei)
-                if cur is None or si > cur[0]:
-                    d[ei] = (si, mi)
-            words = sorted(per, key=lambda k: -best_s[k])[:MAX_NEXT_WORDS]
-            anchor_ts, t2m, lo = [], [], []
+            # group atoms by word, best-estimate first within each group
+            order = np.lexsort((-s, w))
+            w, e, m, b, s = (w[order], e[order], m[order], b[order],
+                             s[order])
+            starts = np.r_[0, 1 + np.nonzero(np.diff(w))[0]]
+            ends = np.r_[starts[1:], len(w)]
+            head_s = s[starts]                 # per-word best estimate
+            top = np.argsort(-head_s, kind="stable")[:MAX_NEXT_WORDS]
+            words, anchor_ts, t2m, lo = [], [], [], []
             Tl = lat.T
-            for wi in words:
-                d = per[wi]
-                ts = sorted(d, key=lambda t: -d[t][0])[:A_CAND]
-                m_of = {t: d[t][1] for t in ts}
+            for gi in top.tolist():
+                if not np.isfinite(head_s[gi]):
+                    continue                   # no continuation anywhere
+                g0, g1 = int(starts[gi]), int(ends[gi])
+                wi = int(w[g0])
+                eg = e[g0:g1]
+                # distinct end frames, best atom per end (group is
+                # sorted best-first, so the first occurrence wins)
+                _, first = np.unique(eg, return_index=True)
+                if len(first) > A_CAND:
+                    first = first[np.argsort(s[g0:g1][first],
+                                             kind="stable")[::-1][:A_CAND]]
+                ts = eg[first].astype(int).tolist()
+                m_of = dict(zip(ts, m[g0:g1][first].astype(int).tolist()))
                 if strategy.may_final(wi) and Tl - 1 not in m_of:
                     if len(ts) >= A_CAND:
                         ts = ts[:-1]
                     ts.append(Tl - 1)
                     m_of[Tl - 1] = 0
+                words.append(wi)
                 anchor_ts.append(ts)
                 t2m.append(m_of)
-                lo.append(min(lo_w[wi], tau - lr) - WIN_PAD)
-            cs = _Cands(words, anchor_ts, t2m, lo)
+                lo.append(int(min(b[g0:g1].min(), tau - lr)) - WIN_PAD)
+            if words:
+                cs = _Cands(words, anchor_ts, t2m, lo)
     st.cands[(tau, lr)] = cs
     return cs
 

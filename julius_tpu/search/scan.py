@@ -38,8 +38,10 @@ NEG_HALF = LOG_ZERO / 2
 K_BUCKETS = (16, 64, 256, 1024)
 
 #: frame-window buckets for windowed dispatches (scan_words_store_win);
-#: spans past the last bucket scan the full utterance
-W_BUCKETS = (64, 128, 256, 512)
+#: spans past the last bucket scan the full utterance.  Deliberately
+#: coarse: each (W, K-bucket) pair is one XLA compile, and fresh-process
+#: compiles through the TPU tunnel cost tens of seconds each.
+W_BUCKETS = (64, 256)
 
 
 def bucket_k(k: int) -> int:
@@ -411,8 +413,11 @@ def scan_words_store_win(g_store: jnp.ndarray, beg_store: jnp.ndarray,
     flat = (bidx[:, None] * T + idx_t) * R                    # [K, W]
     outw = out_flat[flat[:, :, None] + sidx[:, None, :]]      # [K, W, N]
     g, beg, sv = _scan_core_win(loc, ent, ext, seed, outw, t0)
-    g_store = g_store.at[out_rows[:, None], idx_t].set(g)
-    beg_store = beg_store.at[out_rows[:, None], idx_t].set(beg)
+    # pad chains carry out_rows >= CAP; drop their writes instead of
+    # funnelling hundreds of duplicate scatters into a scratch row
+    g_store = g_store.at[out_rows[:, None], idx_t].set(g, mode="drop")
+    beg_store = beg_store.at[out_rows[:, None], idx_t].set(beg,
+                                                           mode="drop")
     rel = jnp.clip(anchors - t0[:, None], 0, W - 1)
     ok = (anchors >= t0[:, None]) & (anchors < t0[:, None] + W)
     ganch = jnp.where(ok, jnp.take_along_axis(g, rel, axis=1), LOG_ZERO)
