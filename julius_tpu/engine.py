@@ -194,6 +194,7 @@ class Engine:
         self._decode_jit = jax.jit(self._decode_device)
         self._chain_cache = None    # lazy search.scan.ChainCache (tests)
         self._device_chains = None  # lazy search.scan.DeviceChainTables
+        self._rescan_warned = False
 
     # -- setup helpers ----------------------------------------------------
 
@@ -399,16 +400,33 @@ class Engine:
     def _rescan_ok(self) -> bool:
         """True when pass 2 should re-derive acoustics with scan_word
         (reference search_bestfirst_v1.c:589); the backward-RL-LM search
-        keeps the frozen-score path for now."""
+        keeps the frozen-score path for now.  AMs whose in-word topology
+        is not left-to-right (backward arcs, which the shift-structured
+        chain scan cannot express) fall back to the frozen-score search
+        instead of raising mid-decode (reference behavior: any HTK
+        topology decodes, check_hmm_restriction.c only warns)."""
         sc = self.search_cfg
         if not sc.pass2_rescan:
             return False
         if self.lmtype == "grammar":
-            return self.dfa is not None
-        if self.lmtype == "ngram":
-            return (self.lm is None
-                    or getattr(self.lm, "direction", "LR") != "RL")
-        return False
+            if self.dfa is None:
+                return False
+        elif self.lmtype == "ngram":
+            if (self.lm is not None
+                    and getattr(self.lm, "direction", "LR") == "RL"):
+                return False
+        else:
+            return False
+        try:
+            self.device_chains
+        except ValueError as e:
+            if not self._rescan_warned:
+                jlog(LogLevel.WARNING,
+                     f"pass-2 re-scan disabled for this AM ({e}); "
+                     "using frozen pass-1 acoustic scores")
+                self._rescan_warned = True
+            return False
+        return True
 
     @property
     def chain_cache(self):
@@ -420,10 +438,17 @@ class Engine:
     @property
     def device_chains(self):
         """Whole-vocabulary scan_word chain tables resident on device
-        (built once; see scan.DeviceChainTables)."""
+        (built once; see scan.DeviceChainTables).  A topology rejection
+        is cached and re-raised without rebuilding."""
+        if isinstance(self._device_chains, ValueError):
+            raise self._device_chains
         if self._device_chains is None:
             from julius_tpu.search.scan import DeviceChainTables
-            self._device_chains = DeviceChainTables(self.net)
+            try:
+                self._device_chains = DeviceChainTables(self.net)
+            except ValueError as e:
+                self._device_chains = e
+                raise
         return self._device_chains
 
     def _rescan_strategy(self):

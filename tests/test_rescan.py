@@ -239,3 +239,25 @@ def test_rescan_dfa_mode():
     assert r.texts == ["sil", "AB", "ABC", "sil"], r.texts
     cats = [int(word_cat[w]) for w in r.word_ids]
     assert dfa.accepts_forward(cats)
+
+
+def test_rescan_falls_back_on_backward_arcs(models):
+    """An AM whose in-word topology has backward arcs cannot use the
+    shift-structured chain scan; the engine must fall back to the
+    frozen-score pass 2 instead of raising mid-decode (VERDICT r3 #5;
+    reference decodes any HTK topology, check_hmm_restriction.c)."""
+    hmm, voca, lm = models
+    import copy
+    hmm2 = copy.deepcopy(hmm)
+    # add a backward transition (state 3 -> state 2) to every phone
+    for pid in range(len(hmm2.phone_names)):
+        tr = np.array(hmm2.phone_trans[pid])
+        tr[3, 2] = np.log(0.1)
+        hmm2.phone_trans[pid] = tr
+    eng = Engine(hmm2, voca, lm,
+                 search=SearchConfig(lm_weight=2.0, lm_weight2=2.0,
+                                     enable_pass2=True, nbest=2))
+    assert not eng._rescan_ok()          # falls back, does not raise
+    r = _run_generative(eng, hmm2, voca, ["<s>", "AB", "BA", "</s>"])
+    assert r.valid and r.from_pass == 2
+    assert r.words == ["<s>", "AB", "BA", "</s>"]
