@@ -17,16 +17,29 @@ Config mirrors the ENVR-v5.4 Quick Run shape: 40ch FBANK_D_A front-end,
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-#: reference julius 4.6 xRT measured on this host (AVX/FMA + OpenMP,
-#: 2 cores) on the same flagship config + generative inputs
-#: (tools/refparity --scale flagship; see BASELINE.md) — updated when
-#: refparity is re-run
-REF_XRT = 4.1
+
+def _ref_xrt() -> float:
+    """Reference julius 4.6 xRT measured on this host (AVX/FMA + OpenMP,
+    2 cores) on the same flagship config + generative inputs.  Read from
+    BASELINE.json["measured"] (written by tools/refparity --scale
+    flagship via --update-baseline); 4.1 was the round-3 measurement and
+    stays as the fallback."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["measured"]["ref_xrt"])
+    except Exception:
+        return 4.1
+
+
+REF_XRT = _ref_xrt()
 
 
 def main():

@@ -56,21 +56,36 @@ def shard_engine(engine, mesh: Mesh) -> None:
     if engine.gmm_tables is not None:
         engine.gmm_tables = put_repl(engine.gmm_tables)
     if engine.dnn_scorer is not None:
+        # Megatron-style alternating column/row parallelism down the
+        # sigmoid MLP chain — the scaled-up analogue of the reference's
+        # OpenMP per-layer row split (calc_dnn.c:806-833):
+        #   col layer: W P(None, 'tp') -> activation sharded on features,
+        #              bias sharded, sigmoid runs sharded;
+        #   row layer: W P('tp', None) -> contraction over the sharded
+        #              dim, ONE psum, replicated activation + bias.
+        # One all-reduce per (col, row) layer PAIR instead of an
+        # all-gather per layer (uniform column sharding re-shards every
+        # activation).  The dryrun asserts the collective count.
         sc = engine.dnn_scorer
-        shard_out = NamedSharding(mesh, P(None, "tp"))
+        shard_col = NamedSharding(mesh, P(None, "tp"))
+        shard_row = NamedSharding(mesh, P("tp", None))
         shard_vec = NamedSharding(mesh, P("tp"))
-        shard_in = NamedSharding(mesh, P("tp", None))
-        n = len(sc.weights)
-        new_w = []
-        for i, w in enumerate(sc.weights):
-            if i == 0:
-                new_w.append(jax.device_put(w, shard_out))
+        new_w, new_b = [], []
+        for i, (w, b) in enumerate(zip(sc.weights, sc.biases)):
+            if i % 2 == 0:
+                new_w.append(jax.device_put(w, shard_col))
+                new_b.append(jax.device_put(b, shard_vec))
             else:
-                # both dims involved; shard output dim, XLA re-shards
-                new_w.append(jax.device_put(w, shard_out))
+                new_w.append(jax.device_put(w, shard_row))
+                new_b.append(jax.device_put(b, repl))
         sc.weights = new_w
-        sc.biases = [jax.device_put(b, shard_vec) for b in sc.biases]
-        sc.output_w = jax.device_put(sc.output_w, shard_in)
+        sc.biases = new_b
+        if len(sc.weights) % 2 == 1:
+            # last hidden layer was col-parallel: the output matmul is
+            # its row-parallel partner
+            sc.output_w = jax.device_put(sc.output_w, shard_row)
+        else:
+            sc.output_w = jax.device_put(sc.output_w, shard_col)
         sc.output_b = jax.device_put(sc.output_b, repl)
         sc.log_prior = jax.device_put(sc.log_prior, repl)
 

@@ -541,6 +541,11 @@ def main(argv=None):
                     default="small")
     ap.add_argument("--n-utts", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default=None,
+                    help="also write the result JSON to this path")
+    ap.add_argument("--update-baseline", default=None, metavar="PATH",
+                    help="record the measured reference xRT/WER into "
+                         "BASELINE.json['measured'] (read by bench.py)")
     args = ap.parse_args(argv)
     if args.scale == "small":
         r = scenario_small(args.ref, args.workdir, args.n_utts,
@@ -549,6 +554,21 @@ def main(argv=None):
         r = scenario_flagship(args.ref, args.workdir, args.n_utts,
                               seed=args.seed)
     print(json.dumps(r, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(r, f, indent=1)
+    if args.update_baseline:
+        with open(args.update_baseline) as f:
+            base = json.load(f)
+        base["measured"] = {
+            "ref_xrt": r.get("ref_xrt"),
+            "ref_wer": r.get("ref_wer"),
+            "our_wer": r.get("our_wer"),
+            "scale": args.scale,
+            "n_utts": args.n_utts,
+        }
+        with open(args.update_baseline, "w") as f:
+            json.dump(base, f, indent=1)
     return r
 
 
