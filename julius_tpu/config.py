@@ -225,6 +225,10 @@ class SearchConfig:
     enable_pass2: bool = True
     pass2_rescan: bool = True       # acoustic re-scan (scan_word parity);
                                     # False = freeze AM at pass-1 scores
+    strict_iwcd2: bool = False      # strict inter-word CD in the re-scan
+                                    # (reference --enable-setup=standard,
+                                    # search_bestfirst_v2.c; v1 pseudo
+                                    # sets otherwise)
     nbest: int = 1                  # -n sentences to find
     output_n: int = 1               # -output sentences to emit
     max_hypo_pop: int = 2000        # -m hypothesis overflow

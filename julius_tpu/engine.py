@@ -194,6 +194,7 @@ class Engine:
         self._decode_jit = jax.jit(self._decode_device)
         self._chain_cache = None    # lazy search.scan.ChainCache (tests)
         self._device_chains = None  # lazy search.scan.DeviceChainTables
+        self._iwcd2_tables = None   # lazy search.iwcd2.StrictIWCDTables
         self._rescan_warned = False
 
     # -- setup helpers ----------------------------------------------------
@@ -436,6 +437,19 @@ class Engine:
         return self._chain_cache
 
     @property
+    def iwcd2_tables(self):
+        """Strict inter-word CD head tables for the v2 re-scan
+        (search/iwcd2.py), built on first use when
+        SearchConfig.strict_iwcd2 is set."""
+        if self._iwcd2_tables is None and self.search_cfg.strict_iwcd2:
+            from julius_tpu.search.iwcd2 import StrictIWCDTables
+            use_tri = (self.hmm.names_are_triphone
+                       and not self.am_cfg.force_mono)
+            self._iwcd2_tables = StrictIWCDTables(
+                self.net, self.hmm, self.voca, use_triphone=use_tri)
+        return self._iwcd2_tables
+
+    @property
     def device_chains(self):
         """Whole-vocabulary scan_word chain tables resident on device
         (built once; see scan.DeviceChainTables).  A topology rejection
@@ -488,7 +502,8 @@ class Engine:
                 out[b] = self._pass2_result(tb, int(nfr[b]))
         if rescan and any(l is not None for l in lattices):
             disp = p2r.ScanDispatcher(self.device_chains, out_ext,
-                                      self.search_cfg.scan_beam)
+                                      self.search_cfg.scan_beam,
+                                      iwcd2=self.iwcd2_tables)
             graphs = [] if self._want_p2_graph() else None
             nbest_lists = p2r.rescan_nbest_batch(
                 lattices, disp, self._rescan_strategy(), self.search_cfg,
@@ -555,7 +570,8 @@ class Engine:
         gwords = None
         if out_ext is not None and self._rescan_ok():
             disp = p2r.ScanDispatcher(self.device_chains, out_ext,
-                                      self.search_cfg.scan_beam)
+                                      self.search_cfg.scan_beam,
+                                      iwcd2=self.iwcd2_tables)
             graphs = [] if self._want_p2_graph() else None
             nbest = p2r.rescan_nbest_batch(
                 [lattice], disp, self._rescan_strategy(),

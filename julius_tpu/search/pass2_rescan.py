@@ -240,9 +240,9 @@ class _Req:
     overflow past A_CAND chains a new request — see _ReqPool.add)."""
 
     __slots__ = ("b", "w", "parent", "lm", "anchors", "slots",
-                 "elo", "hi")
+                 "elo", "hi", "lcc")
 
-    def __init__(self, b, w, parent, lm, elo):
+    def __init__(self, b, w, parent, lm, elo, lcc=0):
         self.b = b
         self.w = w
         self.parent = parent            # Optional[RowHandle]
@@ -251,6 +251,7 @@ class _Req:
         self.slots: Dict[int, int] = {}
         self.elo = elo                  # earliest entry frame needed
         self.hi = 0                     # latest anchor frame
+        self.lcc = lcc                  # left-context class (iwcd2)
 
 
 class _ReqPool:
@@ -263,7 +264,7 @@ class _ReqPool:
         self._by_key: Dict[Tuple, List[int]] = {}
 
     def add(self, b: int, row: int, w: int, parent, lm: float,
-            ts: List[int], elo: int) -> List[Tuple[int, int]]:
+            ts: List[int], elo: int, lcc: int = 0) -> List[Tuple[int, int]]:
         """Register anchors ts; returns [(req_index, slot)] per t."""
         key = (b, row, w)
         ris = self._by_key.get(key)
@@ -288,7 +289,7 @@ class _ReqPool:
                     placed = (ri, s)
                     break
             if placed is None:
-                r = _Req(b, w, parent, lm, elo)
+                r = _Req(b, w, parent, lm, elo, lcc)
                 ri = len(self.reqs)
                 self.reqs.append(r)
                 ris.append(ri)
@@ -314,7 +315,7 @@ class ScanDispatcher:
     ADVICE r3)."""
 
     def __init__(self, tabs: DeviceChainTables, out_ext,
-                 scan_beam: float = 0.0, cap: int = 8192):
+                 scan_beam: float = 0.0, cap: int = 8192, iwcd2=None):
         self.tabs = tabs
         B, T, R = out_ext.shape
         self.out_flat = out_ext.reshape(-1)
@@ -322,6 +323,7 @@ class ScanDispatcher:
         self.R = int(R)
         self.n_scans = 0
         self.scan_beam = float(scan_beam)
+        self.iwcd2 = iwcd2            # search.iwcd2.StrictIWCDTables
         self.pool = _RowPool(cap)
         self.g_store = jnp.full((cap, self.T), LOG_ZERO, jnp.float32)
         self.beg_store = jnp.zeros((cap, self.T), jnp.int32)
@@ -383,6 +385,7 @@ class ScanDispatcher:
                 # pads point past the store; their writes are dropped
                 rows = np.full(Kb, self.pool.cap, np.int32)
                 t0 = np.zeros(Kb, np.int32)
+                lcc = np.zeros(Kb, np.int32)
                 anchors = np.zeros((Kb, A_CAND), np.int32)
                 for j, ri in enumerate(chunk):
                     r = reqs[ri]
@@ -392,6 +395,7 @@ class ScanDispatcher:
                     lm[j] = r.lm
                     bidx[j] = r.b
                     t0[j] = t0s[ri]
+                    lcc[j] = r.lcc
                     if not self.pool.free:
                         self._grow()
                     h = RowHandle(self.pool.alloc(), self.pool)
@@ -399,6 +403,11 @@ class ScanDispatcher:
                     rows[j] = h.row
                     if r.anchors:
                         anchors[j, :len(r.anchors)] = r.anchors
+                kw = {}
+                if self.iwcd2 is not None:
+                    kw = dict(head_sidx=self.iwcd2.head_sidx,
+                              head_ns=self.iwcd2.head_ns,
+                              lcc=jnp.asarray(lcc))
                 self.g_store, self.beg_store, ga, ba, sa = self._fn(W)(
                     self.g_store, self.beg_store,
                     self.tabs.loc, self.tabs.ent, self.tabs.ext,
@@ -406,7 +415,7 @@ class ScanDispatcher:
                     jnp.asarray(wids), jnp.asarray(parents),
                     jnp.asarray(lm), jnp.asarray(bidx),
                     jnp.asarray(rows), jnp.asarray(t0),
-                    jnp.asarray(anchors), self.out_flat)
+                    jnp.asarray(anchors), self.out_flat, **kw)
                 pending.append((chunk, K, ga, ba, sa))
                 self.n_scans += K
         # block on downloads only after every chunk is in flight: one
@@ -601,6 +610,8 @@ def rescan_nbest_batch(
     utterance — the pass-2 word graph accumulated during search
     (reference wordgraph_assign/merge, graphout.c:1901,2020)."""
     lr = max(0, int(cfg.lookup_range))
+    lcmap = (dispatcher.iwcd2.lc_of_word
+             if dispatcher.iwcd2 is not None else None)
     seqc = itertools.count()
     utts: List[Optional[_UttState]] = []
     pool = _ReqPool()
@@ -720,6 +731,8 @@ def rescan_nbest_batch(
                 if cs is None:
                     continue
                 row = hyp.rows[-1].row
+                lcc = int(lcmap[hyp.words[-1]]) if lcmap is not None \
+                    else 0
                 for ci, w in enumerate(cs.words):
                     mkey = (b, row, w)
                     meta = meta_of.get(mkey)
@@ -732,7 +745,7 @@ def rescan_nbest_batch(
                         if ts_new:
                             meta[7].extend(pool.add(
                                 b, row, w, hyp.rows[-1], meta[5],
-                                ts_new, cs.lo[ci]))
+                                ts_new, cs.lo[ci], lcc))
                             meta[3].extend(ts_new)
                             for t_ in ts_new:
                                 meta[4][t_] = cs.t2m[ci][t_]
@@ -745,7 +758,7 @@ def rescan_nbest_batch(
                     # sibling anchors share the parent's g row; one
                     # scan serves them all (anchor frames are merged)
                     slots = pool.add(b, row, w, hyp.rows[-1], lm, ts,
-                                     cs.lo[ci])
+                                     cs.lo[ci], lcc)
                     meta_of[mkey] = [b, hyp, w, ts, dict(cs.t2m[ci]),
                                      lm, state, slots]
         metas = list(meta_of.values())

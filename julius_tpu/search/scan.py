@@ -377,7 +377,10 @@ def scan_words_store_win(g_store: jnp.ndarray, beg_store: jnp.ndarray,
                          out_rows: jnp.ndarray, t0: jnp.ndarray,
                          anchors: jnp.ndarray, out_flat: jnp.ndarray,
                          W: int, T: int, R: int,
-                         scan_beam: float = 0.0):
+                         scan_beam: float = 0.0,
+                         head_sidx: Optional[jnp.ndarray] = None,
+                         head_ns: Optional[jnp.ndarray] = None,
+                         lcc: Optional[jnp.ndarray] = None):
     """Windowed device-resident A* round (see `scan_words_store`).
 
     Each chain k scans only frames [t0[k], t0[k] + W): words span ~30
@@ -398,6 +401,14 @@ def scan_words_store_win(g_store: jnp.ndarray, beg_store: jnp.ndarray,
     ent = ent_all[wids]
     ext = ext_all[wids]
     sidx = sidx_all[wids]
+    if head_sidx is not None:
+        # strict inter-word CD (v2): substitute the head phone's score
+        # rows by (word, left-context class) — search/iwcd2.py
+        H = head_sidx.shape[-1]
+        over = head_sidx[wids, lcc]                           # [K, H]
+        jj = jnp.arange(H, dtype=jnp.int32)[None, :]
+        over = jnp.where(jj < head_ns[wids][:, None], over, sidx[:, :H])
+        sidx = jnp.concatenate([over, sidx[:, H:]], axis=1)
     idx_t = t0[:, None] + jnp.arange(W, dtype=jnp.int32)      # [K, W]
     prow = jnp.maximum(parents, 0)
     pgw = g_store[prow[:, None], jnp.maximum(idx_t - 1, 0)]   # [K, W]
