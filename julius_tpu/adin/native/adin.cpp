@@ -8,6 +8,7 @@
 // the Python fallback in frontend/stream.py is ~100x slower and exists
 // for environments without a compiler.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -82,6 +83,150 @@ void zc_feed(void *h, const float *s, int n, uint8_t *out) {
 }
 
 // ---------------------------------------------------------------------
+// ---------------------------------------------------------------------
+// Sub-band SNR voice activity detector — the libfvad / WebRTC-VAD role
+// (reference adin-cut.c HAVE_LIBFVAD blocks, vendored
+// libjulius/libfvad/).  Original design, not a port: six biquad
+// band-pass filters (RBJ cosine form) accumulate 10 ms band energies;
+// per-band noise floors track minima (fast down, slow up); the frame
+// decision sums clipped band log-SNRs against an aggressiveness
+// threshold with majority smoothing and hangover.  Defeats the
+// level/zero-cross trigger's failure mode: loud but stationary
+// broadband noise raises amplitude and crossing counts everywhere,
+// while band SNR stays ~0 until structured (speech-like) energy
+// appears above the learned floor.
+// ---------------------------------------------------------------------
+
+struct Biquad {
+  double b0, b1, b2, a1, a2;
+  double z1, z2;
+  inline double step(double x) {
+    double y = b0 * x + z1;
+    z1 = b1 * x - a1 * y + z2;
+    z2 = b2 * x - a2 * y;
+    return y;
+  }
+};
+
+static void bp_design(Biquad *f, double fc, double q, double fs) {
+  double w0 = 2.0 * M_PI * fc / fs;
+  double alpha = sin(w0) / (2.0 * q);
+  double a0 = 1.0 + alpha;
+  f->b0 = alpha / a0;
+  f->b1 = 0.0;
+  f->b2 = -alpha / a0;
+  f->a1 = (-2.0 * cos(w0)) / a0;
+  f->a2 = (1.0 - alpha) / a0;
+  f->z1 = f->z2 = 0.0;
+}
+
+#define FVAD_NB 6
+
+struct FVad {
+  Biquad bands[FVAD_NB];
+  double e[FVAD_NB];        // running frame energy per band
+  double noise[FVAD_NB];    // noise floor per band
+  int frame_len;            // samples per decision frame (10 ms)
+  int pos;                  // sample position within frame
+  int n_frames;             // frames seen (for floor init)
+  double thres;             // score threshold (aggressiveness)
+  int smooth_n;             // majority window (frames)
+  uint8_t hist[16];         // last decisions ring
+  int hist_pos;
+  int hang, hang_max;       // hangover frames after speech
+  uint8_t cur;              // current smoothed decision
+};
+
+void *fvad_create(int mode, int sample_rate, int smooth_frames,
+                  float thres_offset) {
+  FVad *v = new FVad();
+  static const double fc[FVAD_NB] = {150, 350, 750, 1500, 2500, 3400};
+  for (int b = 0; b < FVAD_NB; b++) {
+    bp_design(&v->bands[b], fc[b], 1.2, (double)sample_rate);
+    v->e[b] = 0.0;
+    v->noise[b] = -1.0;     // uninitialised: seeded from first frames
+  }
+  v->frame_len = sample_rate / 100;
+  v->pos = 0;
+  v->n_frames = 0;
+  // aggressiveness 0..3 like libfvad modes: higher = stricter
+  static const double th[4] = {1.2, 1.8, 2.6, 3.5};
+  int m = mode < 0 ? 1 : (mode > 3 ? 3 : mode);
+  v->thres = th[m] + (double)thres_offset;
+  v->smooth_n = smooth_frames > 0
+      ? (smooth_frames > 15 ? 15 : smooth_frames) : 5;
+  memset(v->hist, 0, sizeof(v->hist));
+  v->hist_pos = 0;
+  v->hang = 0;
+  v->hang_max = 8;          // 80 ms hangover
+  v->cur = 0;
+  return v;
+}
+
+void fvad_free(void *h) { delete static_cast<FVad *>(h); }
+
+void fvad_reset(void *h) {
+  FVad *v = static_cast<FVad *>(h);
+  for (int b = 0; b < FVAD_NB; b++) {
+    v->bands[b].z1 = v->bands[b].z2 = 0.0;
+    v->e[b] = 0.0;
+    v->noise[b] = -1.0;
+  }
+  v->pos = 0;
+  v->n_frames = 0;
+  memset(v->hist, 0, sizeof(v->hist));
+  v->hist_pos = 0;
+  v->hang = 0;
+  v->cur = 0;
+}
+
+// out[i] = 1 where the (smoothed) frame decision says speech
+void fvad_feed(void *h, const float *s, int n, uint8_t *out) {
+  FVad *v = static_cast<FVad *>(h);
+  for (int i = 0; i < n; i++) {
+    double x = (double)s[i] / 32768.0;
+    for (int b = 0; b < FVAD_NB; b++) {
+      double y = v->bands[b].step(x);
+      v->e[b] += y * y;
+    }
+    if (++v->pos >= v->frame_len) {
+      // frame decision
+      double score = 0.0;
+      for (int b = 0; b < FVAD_NB; b++) {
+        double e = v->e[b] / v->frame_len + 1e-12;
+        if (v->noise[b] < 0.0 || v->n_frames < 3) {
+          v->noise[b] = v->noise[b] < 0.0
+              ? e : (e < v->noise[b] ? e : v->noise[b]);
+        } else if (e < v->noise[b]) {
+          v->noise[b] = 0.6 * v->noise[b] + 0.4 * e;   // fast down
+        } else {
+          v->noise[b] *= 1.006;                        // slow up
+        }
+        double snr = log10(e / (v->noise[b] + 1e-12));
+        if (snr > 0.0) score += (snr > 1.5 ? 1.5 : snr);
+        v->e[b] = 0.0;
+      }
+      v->n_frames++;
+      uint8_t raw = score > v->thres ? 1 : 0;
+      v->hist[v->hist_pos] = raw;
+      v->hist_pos = (v->hist_pos + 1) % v->smooth_n;
+      int cnt = 0;
+      for (int k = 0; k < v->smooth_n; k++) cnt += v->hist[k];
+      if (2 * cnt > v->smooth_n) {
+        v->cur = 1;
+        v->hang = v->hang_max;
+      } else if (v->hang > 0) {
+        v->hang--;
+        v->cur = 1;
+      } else {
+        v->cur = 0;
+      }
+      v->pos = 0;
+    }
+    out[i] = v->cur;
+  }
+}
+
 // segmenter with head/tail margins (reference adin-cut.c adin_cut)
 // event codes written to ev[]: 0 = silence, 1 = speech-start at this
 // sample (head margin handled by caller via start_offset), 2 = in
@@ -90,16 +235,25 @@ void zc_feed(void *h, const float *s, int n, uint8_t *out) {
 
 struct Segmenter {
   void *zc;
+  void *fvad;         // optional sub-band SNR gate (NULL = off)
   int head;           // head margin samples
   int tail;           // tail margin samples
   int in_speech;
   int silence_run;
 };
 
-void *seg_create(int level, int zc_thres, int window_samples,
-                 int head_samples, int tail_samples) {
+// fvad_mode < 0 disables the gate (plain level/zero-cross trigger);
+// 0..3 = aggressiveness, ANDed with the trigger like the reference's
+// libfvad gate over adin-cut detection
+void *seg_create2(int level, int zc_thres, int window_samples,
+                  int head_samples, int tail_samples,
+                  int fvad_mode, int sample_rate, int fvad_smooth,
+                  float fvad_thres) {
   Segmenter *g = new Segmenter();
   g->zc = zc_create(level, zc_thres, window_samples);
+  g->fvad = fvad_mode >= 0
+      ? fvad_create(fvad_mode, sample_rate, fvad_smooth, fvad_thres)
+      : nullptr;
   g->head = head_samples;
   g->tail = tail_samples;
   g->in_speech = 0;
@@ -107,15 +261,23 @@ void *seg_create(int level, int zc_thres, int window_samples,
   return g;
 }
 
+void *seg_create(int level, int zc_thres, int window_samples,
+                 int head_samples, int tail_samples) {
+  return seg_create2(level, zc_thres, window_samples, head_samples,
+                     tail_samples, -1, 16000, 0, 0.0f);
+}
+
 void seg_free(void *h) {
   Segmenter *g = static_cast<Segmenter *>(h);
   zc_free(g->zc);
+  if (g->fvad) fvad_free(g->fvad);
   delete g;
 }
 
 void seg_reset(void *h) {
   Segmenter *g = static_cast<Segmenter *>(h);
   zc_reset(g->zc);
+  if (g->fvad) fvad_reset(g->fvad);
   g->in_speech = 0;
   g->silence_run = 0;
 }
@@ -124,6 +286,11 @@ void seg_feed(void *h, const float *s, int n, uint8_t *ev) {
   Segmenter *g = static_cast<Segmenter *>(h);
   std::vector<uint8_t> trig(n);
   zc_feed(g->zc, s, n, trig.data());
+  if (g->fvad) {
+    std::vector<uint8_t> voice(n);
+    fvad_feed(g->fvad, s, n, voice.data());
+    for (int i = 0; i < n; i++) trig[i] = trig[i] && voice[i];
+  }
   for (int i = 0; i < n; i++) {
     if (!g->in_speech) {
       if (trig[i]) {

@@ -49,20 +49,26 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(so)
         for name, res in [
             ("zc_create", ctypes.c_void_p), ("seg_create", ctypes.c_void_p),
+            ("seg_create2", ctypes.c_void_p),
+            ("fvad_create", ctypes.c_void_p),
             ("zmean_create", ctypes.c_void_p),
             ("dec_create", ctypes.c_void_p), ("dec_feed", ctypes.c_int),
         ]:
             getattr(lib, name).restype = res
         lib.zc_create.argtypes = [ctypes.c_int] * 3
         lib.seg_create.argtypes = [ctypes.c_int] * 5
+        lib.seg_create2.argtypes = [ctypes.c_int] * 8 + [ctypes.c_float]
+        lib.fvad_create.argtypes = [ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_float]
         lib.dec_create.argtypes = [ctypes.c_void_p, ctypes.c_int,
                                    ctypes.c_int]
         for name in ("zc_free", "zc_reset", "seg_free", "seg_reset",
-                     "zmean_free", "dec_free"):
+                     "zmean_free", "dec_free", "fvad_free", "fvad_reset"):
             getattr(lib, name).argtypes = [ctypes.c_void_p]
         lib.zc_feed.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int, ctypes.c_void_p]
         lib.seg_feed.argtypes = lib.zc_feed.argtypes
+        lib.fvad_feed.argtypes = lib.zc_feed.argtypes
         lib.zmean_feed.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                    ctypes.c_int]
         lib.dec_feed.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
@@ -99,10 +105,13 @@ class NativeSpeechDetector:
             raise RuntimeError("native adin not available")
         self._lib = lib
         sr = cfg.sample_rate
-        self._h = lib.seg_create(
+        self._h = lib.seg_create2(
             cfg.level, cfg.zc_thres, int(sr * cfg.window_ms / 1000),
             int(sr * cfg.head_margin_ms / 1000),
-            int(sr * cfg.tail_margin_ms / 1000))
+            int(sr * cfg.tail_margin_ms / 1000),
+            getattr(cfg, "fvad_mode", -1), sr,
+            getattr(cfg, "fvad_smooth", 5),
+            float(getattr(cfg, "fvad_thres", 0.0)))
         self.head = int(sr * cfg.head_margin_ms / 1000)
         self._buf = np.zeros(0, dtype=np.float32)
 

@@ -274,6 +274,11 @@ class EngineConfig:
     vad_zc: int = 60
     vad_head_ms: int = 300
     vad_tail_ms: int = 400
+    # sub-band SNR VAD gate (the libfvad role; reference -fvad mode,
+    # -fvad_param <nframes> <thres>)
+    fvad_mode: int = -1
+    fvad_smooth: int = 5
+    fvad_thres: float = 0.0
     # rejection
     reject_short_ms: int = 0
     reject_long_ms: int = 0

@@ -287,6 +287,22 @@ class VADConfig:
     head_margin_ms: int = 300
     tail_margin_ms: int = 400
     sample_rate: int = 16000
+    # sub-band SNR VAD gate (the libfvad role, adin-cut.c HAVE_LIBFVAD
+    # blocks): -1 = off, 0..3 = aggressiveness (reference -fvad);
+    # fvad_smooth/fvad_thres mirror -fvad_param <nframes> <thres>
+    fvad_mode: int = -1
+    fvad_smooth: int = 5
+    fvad_thres: float = 0.0
+
+
+def vad_config_from(cfg, sample_rate: int) -> "VADConfig":
+    """Build a VADConfig from an EngineConfig's detect block
+    (reference jconf.detect -lv/-zc/-headmargin/-tailmargin/-fvad)."""
+    return VADConfig(
+        level=cfg.vad_level, zc_thres=cfg.vad_zc,
+        head_margin_ms=cfg.vad_head_ms, tail_margin_ms=cfg.vad_tail_ms,
+        sample_rate=sample_rate, fvad_mode=cfg.fvad_mode,
+        fvad_smooth=cfg.fvad_smooth, fvad_thres=cfg.fvad_thres)
 
 
 class ZeroCrossVAD:
@@ -330,6 +346,94 @@ class ZeroCrossVAD:
         return out
 
 
+
+
+class SubbandVAD:
+    """Python mirror of the native sub-band SNR VAD gate
+    (adin/native/adin.cpp fvad_*; the libfvad role).  Six biquad
+    band-pass energies, minimum-tracking noise floors, clipped log-SNR
+    score vs an aggressiveness threshold, majority smoothing and
+    hangover.  Per-sample IIR filtering in Python is slow — this is the
+    no-compiler fallback; semantics match the native code."""
+
+    FC = (150.0, 350.0, 750.0, 1500.0, 2500.0, 3400.0)
+    TH = (1.2, 1.8, 2.6, 3.5)
+
+    def __init__(self, mode: int, sample_rate: int,
+                 smooth_frames: int = 5, thres_offset: float = 0.0):
+        import math
+        self.coefs = []
+        for fc in self.FC:
+            w0 = 2.0 * math.pi * fc / sample_rate
+            alpha = math.sin(w0) / (2.0 * 1.2)
+            a0 = 1.0 + alpha
+            self.coefs.append((alpha / a0, 0.0, -alpha / a0,
+                               -2.0 * math.cos(w0) / a0,
+                               (1.0 - alpha) / a0))
+        self.frame_len = sample_rate // 100
+        m = min(max(mode, 0), 3)
+        self.thres = self.TH[m] + thres_offset
+        self.smooth_n = min(max(smooth_frames, 1), 15)
+        self.hang_max = 8
+        self.reset()
+
+    def reset(self):
+        nb = len(self.FC)
+        self.z = np.zeros((nb, 2))
+        self.e = np.zeros(nb)
+        self.noise = np.full(nb, -1.0)
+        self.pos = 0
+        self.n_frames = 0
+        self.hist = [0] * self.smooth_n
+        self.hist_pos = 0
+        self.hang = 0
+        self.cur = 0
+
+    def _frame_decision(self) -> None:
+        score = 0.0
+        for b in range(len(self.FC)):
+            e = self.e[b] / self.frame_len + 1e-12
+            if self.noise[b] < 0.0 or self.n_frames < 3:
+                self.noise[b] = e if self.noise[b] < 0.0 \
+                    else min(e, self.noise[b])
+            elif e < self.noise[b]:
+                self.noise[b] = 0.6 * self.noise[b] + 0.4 * e
+            else:
+                self.noise[b] *= 1.006
+            snr = np.log10(e / (self.noise[b] + 1e-12))
+            if snr > 0.0:
+                score += min(snr, 1.5)
+            self.e[b] = 0.0
+        self.n_frames += 1
+        raw = 1 if score > self.thres else 0
+        self.hist[self.hist_pos] = raw
+        self.hist_pos = (self.hist_pos + 1) % self.smooth_n
+        if 2 * sum(self.hist) > self.smooth_n:
+            self.cur = 1
+            self.hang = self.hang_max
+        elif self.hang > 0:
+            self.hang -= 1
+            self.cur = 1
+        else:
+            self.cur = 0
+
+    def feed(self, samples: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(samples), dtype=bool)
+        s = np.asarray(samples, dtype=np.float64) / 32768.0
+        for i, x in enumerate(s):
+            for b, (b0, b1, b2, a1, a2) in enumerate(self.coefs):
+                z1, z2 = self.z[b]
+                y = b0 * x + z1
+                self.z[b, 0] = b1 * x - a1 * y + z2
+                self.z[b, 1] = b2 * x - a2 * y
+                self.e[b] += y * y
+            self.pos += 1
+            if self.pos >= self.frame_len:
+                self._frame_decision()
+                self.pos = 0
+            out[i] = bool(self.cur)
+        return out
+
 class SpeechDetector:
     """Segmenter with head/tail margins over the VAD trigger
     (reference adin_cut: triggering, margins, segment callbacks)."""
@@ -337,6 +441,9 @@ class SpeechDetector:
     def __init__(self, cfg: VADConfig):
         self.cfg = cfg
         self.vad = ZeroCrossVAD(cfg)
+        self.fvad = (SubbandVAD(cfg.fvad_mode, cfg.sample_rate,
+                                cfg.fvad_smooth, cfg.fvad_thres)
+                     if getattr(cfg, "fvad_mode", -1) >= 0 else None)
         sr = cfg.sample_rate
         self.head = int(sr * cfg.head_margin_ms / 1000)
         self.tail = int(sr * cfg.tail_margin_ms / 1000)
@@ -344,6 +451,8 @@ class SpeechDetector:
 
     def reset(self):
         self.vad.reset()
+        if self.fvad is not None:
+            self.fvad.reset()
         self._buf = np.zeros(0, dtype=np.float32)
         self._in_speech = False
         self._silence_run = 0
@@ -354,6 +463,8 @@ class SpeechDetector:
         {"type": "samples", "data": ...} / {"type": "end"}."""
         events: List[dict] = []
         trig = self.vad.feed(samples)
+        if self.fvad is not None:
+            trig = trig & self.fvad.feed(samples)
         s = np.asarray(samples, dtype=np.float32)
         self._buf = np.concatenate([self._buf, s])
         base = len(self._buf) - len(s)

@@ -336,6 +336,12 @@ class JconfParser:
                 self.cfg.vad_head_ms = int(nxt())
             elif o == "-tailmargin":
                 self.cfg.vad_tail_ms = int(nxt())
+            elif o == "-fvad":
+                # sub-band SNR VAD gate (reference HAVE_LIBFVAD -fvad)
+                self.cfg.fvad_mode = int(nxt())
+            elif o == "-fvad_param":
+                self.cfg.fvad_smooth = int(nxt())
+                self.cfg.fvad_thres = float(nxt())
             elif o == "-nocutsilence":
                 self.cfg.use_vad = False
             elif o == "-cutsilence":

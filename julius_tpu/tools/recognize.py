@@ -202,7 +202,10 @@ def main(argv=None):
         eng = engines[0]
         cap = make_capture(cfg.input_source,
                            rate=eng.fe_cfg.sample_rate)
-        sess = StreamSession(eng, progout=cfg.progout)
+        from julius_tpu.frontend.stream import vad_config_from
+        sess = StreamSession(
+            eng, vad=vad_config_from(cfg, eng.fe_cfg.sample_rate),
+            progout=cfg.progout)
         jlog(LogLevel.STAT, "listening (Ctrl-C to stop)")
         n_out = 0
         try:

@@ -24,8 +24,13 @@ from julius_tpu.utils.jlog import LogLevel, jlog
 
 
 def serve(engines, module_port=MODULE_PORT, adin_port=ADINNET_PORT,
-          host="127.0.0.1", use_vad=False, max_segments=None):
+          host="127.0.0.1", use_vad=False, max_segments=None, ecfg=None):
     """Run until the module client sends DIE (or max_segments decoded)."""
+    vad_cfg = None
+    if ecfg is not None:
+        from julius_tpu.frontend.stream import vad_config_from
+        vad_cfg = vad_config_from(
+            ecfg, engines[0].fe_cfg.sample_rate)
     mod = ModuleServer(engines, port=module_port, host=host)
     adin = AdinnetServer(port=adin_port, host=host)
     jlog(LogLevel.STAT,
@@ -45,7 +50,7 @@ def serve(engines, module_port=MODULE_PORT, adin_port=ADINNET_PORT,
     def cur_engine():
         return mod.engines[min(mod.current, len(mod.engines) - 1)]
 
-    session = StreamSession(cur_engine(), use_vad=use_vad)
+    session = StreamSession(cur_engine(), vad=vad_cfg, use_vad=use_vad)
     n_seg = 0
     for kind, payload in adin.events():
         if not mod.alive:
@@ -53,7 +58,7 @@ def serve(engines, module_port=MODULE_PORT, adin_port=ADINNET_PORT,
         # live process/grammar switching (CURRENTPROCESS / CHANGEGRAM
         # replace the engine object; pick it up at the next event)
         if session.engine is not cur_engine() and not session._in_segment:
-            session = StreamSession(cur_engine(), use_vad=use_vad)
+            session = StreamSession(cur_engine(), vad=vad_cfg, use_vad=use_vad)
         if kind == "samples":
             if mod.active and mod.process_active[
                     min(mod.current, len(mod.process_active) - 1)]:
@@ -64,7 +69,7 @@ def serve(engines, module_port=MODULE_PORT, adin_port=ADINNET_PORT,
             for r in session.close():
                 mod.send_result(r)
                 n_seg += 1
-            session = StreamSession(cur_engine(), use_vad=use_vad)
+            session = StreamSession(cur_engine(), vad=vad_cfg, use_vad=use_vad)
         elif kind == "eos":
             for r in session.close():
                 mod.send_result(r)
@@ -83,7 +88,7 @@ def main(argv=None):
     serve(engines,
           module_port=cfg.module_port or MODULE_PORT,
           adin_port=cfg.adinnet_port or ADINNET_PORT,
-          use_vad=cfg.use_vad)
+          use_vad=cfg.use_vad, ecfg=cfg)
     return 0
 
 
