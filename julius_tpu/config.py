@@ -168,6 +168,11 @@ class AMConfig:
     # (reference outprob_cd, libsent/src/phmm/outprob.c:287-420)
     iwcd_scheme: str = "best"       # best | max | avg
     iwcd_nbest: int = 3
+    # per-last-word RC triphone assignment for word-head states in
+    # pass 1 (reference outprob_style.c:354 dynamic AS_RSET); False =
+    # iwcd1 pseudo-set approximation.  Uses the XLA pass-1 path (the
+    # fused kernel does not carry the context payload into emissions)
+    head_rc_dynamic: bool = False
     force_mono: bool = False        # treat dict phones as monophones
     # MAP-CMN persistence (-cmnload/-cmnsave/-cmnnoupdate)
     cmnload_path: Optional[str] = None

@@ -132,6 +132,11 @@ class Engine:
             self.final_mask = np.ones(voca.n_words, dtype=bool)
         transparent = np.asarray(voca.transparent, dtype=bool) \
             if voca.transparent else None
+        rc_tables = None
+        if self.am_cfg.head_rc_dynamic and use_tri:
+            from julius_tpu.search.iwcd2 import build_rc_tables
+            rc_tables = build_rc_tables(self.net, hmm, voca,
+                                        use_triphone=True)
         self.dev_net = p1.build_device_network(
             self.net, self.ngram_dev, wid2lm,
             lm_weight=sc.lm_weight, lm_penalty=sc.lm_penalty,
@@ -140,7 +145,8 @@ class Engine:
             transparent=transparent,
             transparent_penalty=sc.transparent_penalty,
             cprob=(np.asarray(voca.cprob, dtype=np.float32)
-                   if voca.cprob and any(voca.cprob) else None))
+                   if voca.cprob and any(voca.cprob) else None),
+            rc_tables=rc_tables)
         trellis_topm = sc.trellis_topm
         if trellis_topm <= 0:
             # auto-size M with the vocabulary: the reference's

@@ -97,8 +97,41 @@ class StrictIWCDTables:
                 head_sidx[w, ci, :ns] = hmm.phone_states[pid, :ns]
                 n_resolved += 1
         self.n_resolved = n_resolved
+        self.head_sidx_np = head_sidx
+        self.head_ns_np = head_ns
         self.head_sidx = jnp.asarray(head_sidx)
         self.head_ns = jnp.asarray(head_ns)
+
+
+def build_rc_tables(net: DecodeNetwork, hmm: HMMSet, voca: Vocabulary,
+                    use_triphone: Optional[bool] = None):
+    """Node-level view of the strict head-context tables for PASS 1
+    (reference outprob_style.c:354 per-last-word RC assignment with the
+    per-node cache, wchmm.h:55-83): returns
+
+        rc_head [N]      row into rc_sidx for word-head states (-1 =
+                         emission row fixed at net.score_idx)
+        rc_sidx [NH, C]  override outprob rows per left-context class
+                         (class 0 = no context = the v1 pseudo row)
+        lc_class [V]     word id -> left-context class of its final
+                         base phone
+
+    consumed by pass1.build_device_network(rc_tables=...)."""
+    tabs = StrictIWCDTables(net, hmm, voca, use_triphone=use_triphone)
+    N = net.n_nodes
+    V = net.n_words
+    ofs = net.word_node_ofs
+    rc_head = np.full(N, -1, np.int32)
+    rows = []
+    for w in range(V):
+        ns = int(tabs.head_ns_np[w])
+        for j in range(ns):
+            rc_head[int(ofs[w]) + j] = len(rows)
+            rows.append(tabs.head_sidx_np[w, :, j])
+    C = tabs.head_sidx_np.shape[1]
+    rc_sidx = (np.stack(rows) if rows
+               else np.zeros((0, C), np.int32))
+    return rc_head, rc_sidx, tabs.lc_of_word[:V].astype(np.int32)
 
 
 def _resolve(hmm: HMMSet, name: str) -> Optional[int]:

@@ -90,9 +90,17 @@ class DeviceNetwork:
     cpair: Optional[jnp.ndarray]  # [C, C] bool category-pair constraint
     cat_init: Optional[jnp.ndarray]   # [C] bool: category allowed initially
     cat_final: Optional[jnp.ndarray]  # [C] bool: word may end the input
+    # per-last-word RC triphone assignment for word-head states
+    # (reference outprob_style.c:354 AS_RSET dynamic assignment): the
+    # node's emission row is substituted by the token's LM-context word
+    # class.  None = iwcd1 pseudo-set approximation (the default)
+    rc_head: Optional[jnp.ndarray]    # [N] row into rc_sidx, -1 = fixed
+    rc_sidx: Optional[jnp.ndarray]    # [NH * C] flattened override rows
+    lc_class: Optional[jnp.ndarray]   # [V] word -> left-context class
     head_word: int
     tail_word: int
     local_k: int = -1         # >= 0: use the shift-structured fast path
+    rc_C: int = 0             # classes per rc_sidx row
 
 
 jax.tree_util.register_dataclass(
@@ -102,8 +110,9 @@ jax.tree_util.register_dataclass(
                  "exit_word", "exit_lp", "exit_nodes", "exit_w", "exit_nlp",
                  "exit_wlm", "exit_uni", "exit_transp", "ctx_info",
                  "word_entry_lm", "wid2lm", "transparent",
-                 "word_cat", "cpair", "cat_init", "cat_final"],
-    meta_fields=["head_word", "tail_word", "local_k"],
+                 "word_cat", "cpair", "cat_init", "cat_final",
+                 "rc_head", "rc_sidx", "lc_class"],
+    meta_fields=["head_word", "tail_word", "local_k", "rc_C"],
 )
 
 
@@ -120,6 +129,7 @@ def build_device_network(
     transparent: Optional[np.ndarray] = None,
     transparent_penalty: float = 0.0,
     cprob: Optional[np.ndarray] = None,
+    rc_tables=None,
 ) -> DeviceNetwork:
     V = net.n_words
     if transparent is None:
@@ -192,9 +202,16 @@ def build_device_network(
         cpair=None if cpair is None else jnp.asarray(cpair),
         cat_init=None if cat_init is None else jnp.asarray(cat_init),
         cat_final=None if cat_final is None else jnp.asarray(cat_final),
+        rc_head=(None if rc_tables is None
+                 else jnp.asarray(rc_tables[0])),
+        rc_sidx=(None if rc_tables is None
+                 else jnp.asarray(rc_tables[1].reshape(-1))),
+        lc_class=(None if rc_tables is None
+                  else jnp.asarray(rc_tables[2])),
         head_word=net.head_word,
         tail_word=net.tail_word,
         local_k=local_k,
+        rc_C=0 if rc_tables is None else int(rc_tables[1].shape[1]),
     )
 
 
@@ -488,8 +505,19 @@ def pass1_step(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     else:
         merged = inw
 
+    if dev.rc_head is not None:
+        # per-last-word RC word-head triphone assignment (reference
+        # outprob_style.c:354): substitute head-state emission rows by
+        # the token's context-word class; ctx is the LM context, so a
+        # transparent predecessor contributes its inherited context
+        cls = jnp.where(ctx >= 0,
+                        dev.lc_class[jnp.maximum(ctx, 0)], 0)
+        ov = dev.rc_sidx[jnp.maximum(dev.rc_head, 0) * dev.rc_C + cls]
+        sidx_eff = jnp.where(dev.rc_head >= 0, ov, dev.score_idx)
+    else:
+        sidx_eff = dev.score_idx
     new_score = jnp.where(merged > NEG_HALF,
-                          merged + out_row[dev.score_idx], LOG_ZERO)
+                          merged + out_row[sidx_eff], LOG_ZERO)
     if cfg.beam_width > 0:
         thr = jnp.max(new_score) - cfg.beam_width
         new_score = jnp.where(new_score >= thr, new_score, LOG_ZERO)
@@ -548,7 +576,7 @@ def _fused_ok(dev: DeviceNetwork, cfg: Pass1Config) -> bool:
         return False
     supported = (dev.local_k >= 0 and cfg.crossword and not cfg.use_dfa
                  and not (cfg.use_lm and cfg.factoring >= 2)
-                 and cfg.beam_width == 0.0)
+                 and cfg.beam_width == 0.0 and dev.rc_head is None)
     if FUSE_PASS1:
         return supported
     try:

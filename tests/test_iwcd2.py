@@ -150,3 +150,38 @@ def test_v2_no_context_keeps_v1(models):
     r2 = e2.decode_outprob(rows[None], jnp.asarray([12]))[0]
     assert r1.words == r2.words
     assert abs(r1.score - r2.score) < 1e-3
+
+
+def test_pass1_rc_dynamic_tables(models):
+    """Pass-1 per-last-word RC assignment (outprob_style.c:354): the
+    node table must pin hand-resolved triphone rows, and decode scores
+    must change vs the pseudo approximation by the head-frame delta."""
+    from julius_tpu.config import AMConfig
+    from julius_tpu.search.iwcd2 import build_rc_tables
+
+    hmm, voca, lm = models
+    sc = dict(lm_weight=2.0, lm_weight2=2.0, nbest=1, enable_pass2=False)
+    e1 = Engine(hmm, voca, lm, search=SearchConfig(**sc))
+    e2 = Engine(hmm, voca, lm, search=SearchConfig(**sc),
+                am_cfg=AMConfig(head_rc_dynamic=True))
+    assert e2.dev_net.rc_head is not None
+
+    # table pinning: YY's first head node, class of 'a' -> 'a-c+a' rows
+    rc_head, rc_sidx, lc_class = build_rc_tables(e2.net, hmm, voca, True)
+    yy = voca.names.index("YY")
+    xa = voca.names.index("XA")
+    n0 = e2.net.word_node_ofs[yy]
+    ca = int(lc_class[xa])
+    for j in range(3):
+        assert rc_head[n0 + j] >= 0
+        assert rc_sidx[rc_head[n0 + j], ca] == \
+            hmm.phone_states[hmm.phone_index["a-c+a"], j]
+
+    rows, T = _rows(hmm, voca)
+    r1 = e1.decode_outprob(rows[None], jnp.asarray([T]))[0]
+    r2 = e2.decode_outprob(rows[None], jnp.asarray([T]))[0]
+    assert r1.words == r2.words == ["<s>", "XA", "YY", "</s>"]
+    # same hand-computed delta as the v2 re-scan: 8 head frames scored
+    # exact a-c+a (-0.5) instead of the pseudo best-3 average (-0.25)
+    delta = r1.score - r2.score
+    assert abs(delta - 2.0) < 0.2, f"delta {delta}"
