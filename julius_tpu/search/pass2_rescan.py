@@ -83,6 +83,9 @@ K_BUCKETS = (256, 2048)
 #: atom recorded; the trap test shifts one by 3)
 WIN_PAD = 12
 
+#: optional debug hook (tests/diagnostics): callable fed skip events
+_DBG = None
+
 
 def _bucket_k(k: int) -> int:
     for b in K_BUCKETS:
@@ -691,7 +694,8 @@ def rescan_nbest_batch(
                     continue
             n_popped = 0
             while (st.stack and n_popped < POPS_PER_ROUND and st.active):
-                _, _, hyp, t, m, gval = heapq.heappop(st.stack)
+                negp, _, hyp, t, m, gval = heapq.heappop(st.stack)
+                prio = -negp
                 # -m counts EXPANDED hypotheses (reference hypo
                 # expansion overflow); anchor-duplicate and final pops
                 # are bookkeeping, not expansions
@@ -713,18 +717,47 @@ def rescan_nbest_batch(
                         if len(st.results) >= cfg.nbest:
                             break
                     continue
+                # SCORE-aware dedup, not first-come: a batched round
+                # pops below the frontier, so a weaker hypothesis can
+                # reach this (boundary atom, LM context) class a round
+                # before a stronger one is even on the stack — the
+                # serial reference pops strictly best-first so arrival
+                # order IS score order.  Admission is therefore by g
+                # value: a later pop that beats the weakest admitted g
+                # still expands (the earlier weaker expansion is merely
+                # wasted work, not a search error).
                 key = (t * M + m, strategy.ctx_key(hyp.words))
-                cnt = st.seen.get(key, 0)
-                if cnt >= cfg.nbest:
+                ent = st.seen.get(key)
+                if ent is not None and len(ent) >= cfg.nbest \
+                        and gval <= ent[0] + 1e-6:
+                    if _DBG:
+                        _DBG(("seen-skip", hyp.words, t, m, gval))
                     continue
-                st.seen[key] = cnt + 1
+                if _DBG:
+                    _DBG(("admit", hyp.words, t, m, gval))
+                if ent is None:
+                    st.seen[key] = [gval]
+                elif len(ent) < cfg.nbest:
+                    heapq.heappush(ent, gval)
+                else:
+                    heapq.heapreplace(ent, gval)
                 if cfg.enveloped:
+                    # word envelope (reference wb_ok): admit the best
+                    # `word_envelope` distinct sequences per length by
+                    # PRIORITY, order-independently (same staleness
+                    # argument as above)
                     L = len(hyp.words)
-                    s = st.len_seen.setdefault(L, set())
-                    if hyp.words not in s:
-                        if len(s) >= cfg.word_envelope:
-                            continue
-                        s.add(hyp.words)
+                    adm = st.len_seen.setdefault(L, {})
+                    cur = adm.get(hyp.words)
+                    if cur is None:
+                        if len(adm) >= cfg.word_envelope:
+                            wkey = min(adm, key=adm.get)
+                            if prio <= adm[wkey]:
+                                continue
+                            del adm[wkey]
+                        adm[hyp.words] = prio
+                    elif prio > cur:
+                        adm[hyp.words] = prio
                 n_popped += 1
                 st.n_pop += 1
                 cs = _cand_for(st, t + 1, lr, strategy)

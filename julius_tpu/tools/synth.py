@@ -62,7 +62,9 @@ def make_vocabulary(hmm: HMMSet, n_words: int = 5000,
                     min_phones: int = 3, max_phones: int = 7,
                     seed: int = 1) -> Vocabulary:
     rng = np.random.default_rng(seed)
-    usable = [n for n in hmm.phone_names if n != "sil"]
+    usable = [n for n in hmm.phone_names
+              if n != "sil" and "#" not in n
+              and "-" not in n and "+" not in n]
     voca = Vocabulary()
     # empty output strings like the reference dict convention
     # ("<s> [] sil"): the silence words never appear in transcripts
@@ -116,6 +118,129 @@ def make_dnn(dim_in: int = 1320, hidden: int = 2048, n_layers: int = 5,
         context_len=11,
         feature_len=dim_in // 11,
     )
+
+
+def make_triphone_hmmset(n_base: int = 40, variants: int = 50,
+                         n_states: int = 3, dim: int = 120,
+                         seed: int = 0) -> HMMSet:
+    """Tied-triphone HMM set at realistic scale: `n_base` monophones
+    plus `n_base * variants` physical triphone models; the HMMList
+    (logical_map) is filled lazily by `bind_triphones` with the
+    composed names a vocabulary actually uses, hash-tied to a physical
+    variant of the same center phone (the reference's rdhmmlist.c
+    logical->physical tying).  Senone count = (n_base*(variants+1))
+    * n_states (~6k at defaults, ENVR-v5.4-like)."""
+    rng = np.random.default_rng(seed)
+    n_phys = n_base * (variants + 1)
+    S = n_phys * n_states
+    means = rng.standard_normal((S, dim)).astype(np.float32)
+    ivars = (1.0 / (0.5 + rng.random((S, dim)))).astype(np.float32)
+    gconst = (dim * math.log(2 * math.pi)
+              - np.sum(np.log(ivars), axis=1)).astype(np.float32)
+    state_mix = np.arange(S, dtype=np.int32).reshape(S, 1)
+    state_lw = np.zeros((S, 1), dtype=np.float32)
+    phone_states = np.arange(S, dtype=np.int32).reshape(n_phys, n_states)
+    phone_ns = np.full(n_phys, n_states, dtype=np.int32)
+    N = n_states + 2
+    trans = np.full((N, N), LOG_ZERO, dtype=np.float32)
+    trans[0, 1] = 0.0
+    for s in range(1, N - 1):
+        trans[s, s] = math.log(0.6)
+        trans[s, s + 1] = math.log(0.4)
+    phone_trans = np.tile(trans[None], (n_phys, 1, 1))
+    base_names = [f"q{i:02d}" for i in range(n_base - 1)] + ["sil"]
+    names = list(base_names)
+    for b in range(n_base):
+        for v in range(variants):
+            names.append(f"{base_names[b]}#t{v:02d}")
+    return HMMSet(
+        means=means, ivars=ivars, gconst=gconst,
+        state_mix=state_mix, state_lw=state_lw,
+        state_sid=np.arange(S, dtype=np.int32),
+        phone_states=phone_states, phone_ns=phone_ns,
+        phone_trans=phone_trans,
+        phone_names=names,
+        phone_index={n: i for i, n in enumerate(names)},
+        logical_map={},
+        veclen=dim,
+        names_are_triphone=True,
+    )
+
+
+def bind_triphones(hmm: HMMSet, voca: Vocabulary, n_base: int = 40,
+                   variants: int = 50) -> int:
+    """Fill hmm.logical_map with every in-word triphone the vocabulary
+    composes (the HMMList role, reference rdhmmlist.c): each logical
+    'l-c+r' ties to a physical variant of center c by name hash.
+    Cross-word heads/tails ('c+r' / 'l-c') resolve via pseudo sets at
+    network build.  Returns the number of logical entries added."""
+    import zlib
+
+    from julius_tpu.search.network import word_phone_names
+
+    base_index = {n: i for i, n in enumerate(hmm.phone_names[:n_base])}
+    added = 0
+    for phones in voca.phones:
+        for name in word_phone_names(phones, True):
+            if "-" not in name or "+" not in name:
+                # word-head 'c+r' / word-tail 'l-c' names resolve via
+                # pseudo CD sets at network build (reference cdset.c) —
+                # only full in-word triphones go into the HMMList
+                continue
+            if name in hmm.logical_map or name in hmm.phone_index:
+                continue
+            from julius_tpu.models.hmm import center_name
+            c = center_name(name)
+            bi = base_index.get(c)
+            if bi is None:
+                continue
+            v = zlib.crc32(name.encode()) % variants
+            phys = f"{hmm.phone_names[bi]}#t{v:02d}"
+            hmm.logical_map[name] = hmm.phone_index[phys]
+            added += 1
+    return added
+
+
+def lvcsr_engine(n_words: int = 20000, n_base: int = 40,
+                 variants: int = 50, hidden: int = 2048,
+                 n_layers: int = 5, seed: int = 0,
+                 search: Optional[SearchConfig] = None):
+    """20k-word tied-triphone DNN-HMM configuration (VERDICT r4 #4:
+    the reference's 20k-word dictation capability, README.md:24, over
+    HMMList-tied triphones with cross-word pseudo sets active).
+
+    Returns (engine, protos): decodable like flagship_engine(trained=
+    True) — frames built from senone prototypes decode back."""
+    from julius_tpu.engine import Engine
+    from julius_tpu.io.dnn import DNNParams
+
+    fe_cfg = parse_feature_type("FBANK_D_A")
+    fe_cfg.fbank_num = 40
+    feat_dim = 120
+    hmm = make_triphone_hmmset(n_base=n_base, variants=variants,
+                               dim=feat_dim, seed=seed)
+    voca = make_vocabulary(hmm, n_words=n_words, seed=seed + 1)
+    # vocabulary phones are base names; rebuild with base phones only
+    bind_triphones(hmm, voca, n_base=n_base, variants=variants)
+    lm = make_ngram(voca, seed=seed + 2)
+    if search is None:
+        search = SearchConfig(lm_weight=8.0, lm_penalty=-2.0)
+    n_out = hmm.n_states
+    weights, biases, out_w, out_b, protos = trained_dnn_weights(
+        n_out, feat_dim * 11, feat_dim, 11, hidden, n_layers, seed + 3)
+    dnn = DNNParams(
+        weights=weights, biases=biases, output_w=out_w, output_b=out_b,
+        log_prior=np.full(n_out, math.log10(1.0 / n_out), np.float32),
+        context_len=11, feature_len=feat_dim)
+    from julius_tpu.config import AMConfig
+    # iwcd1 'max' (reference outprob_cd max mode): synthetic same-center
+    # variants are random prototypes, so the 'best'-N AVERAGE dilutes
+    # pseudo head/tail scores far more than on real AMs where tied
+    # triphones are acoustically close — max keeps the config decodable
+    # while still exercising the pseudo-set machinery
+    eng = Engine(hmm, voca, lm, dnn=dnn, frontend=fe_cfg, search=search,
+                 am_cfg=AMConfig(iwcd_scheme="max"))
+    return eng, protos
 
 
 def trained_dnn_weights(n_out, din, dim, context, hidden, n_layers,
@@ -213,6 +338,56 @@ def make_flagship_utts(hmm, voca, lm, protos, n_utts, dim, context,
         T = base.shape[0]
         idx = np.clip(np.arange(T)[:, None]
                       + np.arange(-half, context - half)[None, :], 0, T - 1)
+        win = base[idx].reshape(T, dim * context).astype(np.float32)
+        truths.append([voca.names[w] for w in seq])
+        windows.append(win)
+        lens.append(T)
+    return truths, windows, lens
+
+
+def make_lvcsr_utts(eng, protos, n_utts, dim, context,
+                    min_words=4, max_words=9, seed=0):
+    """Generative utterances for a triphone engine: the senone path is
+    read off the DECODE NETWORK's own node rows (word_node_ofs +
+    score_idx), so in-word tied triphones and cross-word pseudo sets
+    line up with what pass 1 will score; a pseudo set-state's frame is
+    generated from its first member senone's prototype (the aggregate
+    then scores it near-max).  Truth known by construction."""
+    rng = np.random.default_rng(seed + 9)
+    hmm, voca, net = eng.hmm, eng.voca, eng.net
+    S = hmm.n_states
+    ps = net.pseudo
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    usable = [i for i, n in enumerate(voca.names)
+              if n not in ("<s>", "</s>")]
+    # per-word node score rows + a self-loop probability per node
+    truths, windows, lens = [], [], []
+    for _ in range(n_utts):
+        k = int(rng.integers(min_words, max_words + 1))
+        seq = ([name2id["<s>"]]
+               + [usable[int(j)] for j in
+                  rng.integers(0, len(usable), size=k)]
+               + [name2id["</s>"]])
+        senones = []
+        for w in seq:
+            n0, n1 = int(net.word_node_ofs[w]), int(net.word_node_ofs[w + 1])
+            for node in range(n0, n1):
+                sidx = int(net.score_idx[node])
+                if sidx >= S and ps is not None:
+                    j = sidx - S
+                    sidx = int(ps.members[int(ps.member_ofs[j])])
+                # ~1.5 frames per state on average (p_stay 0.6-like)
+                senones.append(sidx)
+                while rng.random() < 0.4:
+                    senones.append(sidx)
+        base = protos[senones] \
+            + 0.25 * rng.standard_normal((len(senones), dim)) \
+            .astype(np.float32)
+        half = context // 2
+        T = base.shape[0]
+        idx = np.clip(np.arange(T)[:, None]
+                      + np.arange(-half, context - half)[None, :],
+                      0, T - 1)
         win = base[idx].reshape(T, dim * context).astype(np.float32)
         truths.append([voca.names[w] for w in seq])
         windows.append(win)
