@@ -61,6 +61,7 @@ class FrontendConfig:
     # streaming MAP-CMN (reference wav2mfcc-pipe.c:342 CMN_realtime)
     cmn_map_weight: float = 100.0
     cmn_static: bool = False
+    cvn_static: bool = False        # -cvnstatic
     # feature type string, e.g. "MFCC_E_D_N_Z"; parsed into the flags above
     feature_type: Optional[str] = None
 
@@ -180,6 +181,17 @@ class AMConfig:
     cmn_update: bool = True
     # spectral subtraction (-ssload; reference libsent/src/wav2mfcc/ss.c)
     ssload_path: Optional[str] = None
+    # -sscalc: estimate the noise spectrum from the head silence of
+    # each (file) input instead of a precomputed -ssload file
+    sscalc: bool = False
+    sscalc_len_ms: int = 300
+    # -spmodel/-sp: short-pause model name (iwsp insertion + decoder-VAD
+    # pause detection, reference jconf.am spmodel_name)
+    spmodel_name: str = "sp"
+    # -multipath: the reference forces its multipath network variant;
+    # the flat network here derives topology from the model itself, so
+    # this is accepted and recorded only
+    multipath_forced: bool = False
 
 
 @dataclass
@@ -199,6 +211,20 @@ class LMConfig:
     head_silname: str = "<s>"
     tail_silname: str = "</s>"
     enable_iwsp: bool = False
+    iwsp_penalty: float = -1.0      # -iwsppenalty (default.c:144)
+    # -adddict/-addentry/-forcedict (reference voca_load_htkdict
+    # do_conv/error handling)
+    adddict_paths: list = field(default_factory=list)
+    addentries: list = field(default_factory=list)
+    forcedict: bool = False
+    # -iwspword/-iwspentry: add a short-pause word to the dictionary
+    # (reference default iwspentry "<UNK> [sp] sp", default.c)
+    enable_iwspword: bool = False
+    iwspentry: str = "<UNK> [sp] sp"
+    # -wsil: head/tail silence + context for wordlist mode
+    wsil_head: str = "silB"
+    wsil_tail: str = "silE"
+    wsil_context: str = ""
     head_margin_word: str = "sil"   # silence model at head/tail
     tail_margin_word: str = "sil"
 
@@ -256,6 +282,21 @@ class SearchConfig:
     graph_min_posterior: float = 1e-4
     mbr: bool = False               # USE_MBR rescoring of the N-best
     mbr_score_scale: float = 0.1
+    # graph output shaping (reference jconf.graph block; stored and
+    # applied where the TPU graph pipeline has an analogue)
+    graph_range: int = 0            # -graphrange merge-boundary slack
+    graph_cut_depth: int = 80       # -graphcut depth cut
+    graph_bound_loop: int = 20      # -graphboundloop
+    graph_search_delay: bool = False  # -graphsearchdelay
+    # CM thresholds (reference -cmthres keyword gating)
+    cm_thres: float = 0.0
+    cm_thres2: float = 0.0
+    # MBR variants (reference USE_MBR options)
+    mbr_use_word_weights: bool = False   # -mbr_wwer
+    multigram_out: bool = False     # -multigramout
+    start_inactive: bool = False    # -inactive (module can activate)
+    fallback_1pass: bool = True     # -fallback1pass (always on here,
+                                    # like pass2_finalize_on_no_result)
     # grammar/one-pass modes
     one_pass: bool = False
 
@@ -284,6 +325,20 @@ class EngineConfig:
     fvad_mode: int = -1
     fvad_smooth: int = 5
     fvad_thres: float = 0.0
+    # preprocessing (reference jconf.preprocess block)
+    zmean: bool = False             # -zmean DC offset removal
+    level_coef: float = 1.0         # -lvscale input scaling
+    ds48: bool = False              # -48 (48 kHz input, decimate to 16k)
+    nostrip: bool = False           # -nostrip keep invalid zero frames
+    typecheck: bool = True          # -notypecheck disables param check
+    chunk_size: int = 1000          # -chunksize adin read samples
+    force_realtime: Optional[bool] = None   # -realtime/-norealtime
+    # decoder-VAD short-pause segmentation (reference -spsegment block)
+    spsegment: bool = False
+    sp_frame_duration: int = 10     # -spdur
+    pause_models: list = field(default_factory=list)   # -pausemodels
+    # -check wchmm/triphone: run interactive model checks after load
+    check_modes: list = field(default_factory=list)
     # rejection
     reject_short_ms: int = 0
     reject_long_ms: int = 0

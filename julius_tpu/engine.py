@@ -529,6 +529,79 @@ class Engine:
             self.callbacks.exec("result", res)
         return out
 
+    def describe(self) -> str:
+        """Engine/system info dump (reference print_engine_info,
+        libjulius/src/m_info.c; exposed on `-version`/`-setting`)."""
+        sc, am, fe = self.search_cfg, self.am_cfg, self.fe_cfg
+        L = []
+        L.append("---------- engine information ----------")
+        L.append("julius_tpu (TPU-native LVCSR, julius 4.6 capability "
+                 "parity)")
+        try:
+            backend = jax.default_backend()
+            ndev = len(jax.devices())
+        except Exception:
+            backend, ndev = "?", 0
+        L.append(f"compute: jax backend={backend} devices={ndev}")
+        L.append("---------- acoustic model ----------")
+        h = self.hmm
+        L.append(f" phones: {h.n_phones} physical, "
+                 f"{len(h.logical_map)} logical (HMMList)")
+        L.append(f" states: {h.n_states} senones; "
+                 f"triphone names: {h.names_are_triphone}")
+        if self.dnn_scorer is not None:
+            ws = self.dnn_scorer.weights
+            L.append(f" scorer: DNN {ws[0].shape[0]}-"
+                     + "x".join(str(w.shape[1]) for w in ws)
+                     + f"-{self.dnn_scorer.n_out} (log10 outprob)")
+        else:
+            L.append(f" scorer: GMM (gprune={am.gprune} "
+                     f"num={am.gprune_num}"
+                     + (", GMS" if self.gms is not None else "") + ")")
+        L.append(f" cross-word CD: iwcd1={am.iwcd_scheme}"
+                 + (f" best{am.iwcd_nbest}" if am.iwcd_scheme == "best"
+                    else "")
+                 + (", pass1 RC dynamic" if am.head_rc_dynamic else "")
+                 + (", pass2 strict IWCD (v2)" if sc.strict_iwcd2
+                    else ", pass2 v1"))
+        L.append("---------- front-end ----------")
+        L.append(f" {fe.feature_type or 'MFCC'}: sr={fe.sample_rate} "
+                 f"frame={fe.frame_ms}ms shift={fe.shift_ms}ms "
+                 f"fbank={fe.fbank_num} veclen={fe.veclen}")
+        L.append(f" CMN={'on' if fe.cmn else 'off'} CVN="
+                 f"{'on' if fe.cvn else 'off'} "
+                 f"map_weight={fe.cmn_map_weight}")
+        L.append("---------- language model ----------")
+        L.append(f" type={self.lmtype} vocabulary={self.voca.n_words} "
+                 "words")
+        if self.lm is not None:
+            L.append(f" N-gram: order={getattr(self.lm, 'order', '?')} "
+                     f"direction={getattr(self.lm, 'direction', 'LR')}")
+        if self.dfa is not None:
+            L.append(f" DFA: {self.dfa.n_states} states")
+        L.append("---------- search ----------")
+        L.append(f" lexicon: flat, {self.net.n_nodes} nodes "
+                 f"(local_k={self.dev_net.local_k}); trellis M="
+                 f"{self.p1_cfg.n_atoms}")
+        L.append(f" pass1: lm_weight={sc.lm_weight} "
+                 f"penalty={sc.lm_penalty} beam="
+                 f"{sc.beam_width or 'full'} factoring={sc.factoring}")
+        L.append(f" pass2: {'rescan' if sc.pass2_rescan else 'frozen'} "
+                 f"lm_weight2={sc.lm_weight2} penalty2={sc.lm_penalty2} "
+                 f"stack={sc.stack_size} m={sc.max_hypo_pop} "
+                 f"n={sc.nbest} envelope={sc.word_envelope} "
+                 f"lookup={sc.lookup_range}")
+        outs = [k for k, v in [("lattice", sc.graph_out),
+                               ("confnet", sc.confnet_out),
+                               ("cm", sc.compute_confidence),
+                               ("mbr", sc.mbr),
+                               ("walign", sc.align_word),
+                               ("palign", sc.align_phoneme),
+                               ("salign", sc.align_state)] if v]
+        L.append(f" outputs: n-best={sc.output_n}"
+                 + (" + " + "/".join(outs) if outs else ""))
+        return "\n".join(L)
+
     def register_user_lm(self, fn, order: int = 2) -> None:
         """Install an application-provided LM for pass-2 rescoring
         (reference j_regist_user_lm_func, jfunc.c / LM_NGRAM_USER).

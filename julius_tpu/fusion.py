@@ -81,6 +81,36 @@ def load_am(am: AMConfig):
     return hmm, dnn, gshmm
 
 
+def _apply_dict_extras(voca, lm: LMConfig) -> None:
+    """-adddict/-addentry/-iwspword additions to a loaded dictionary
+    (reference voca_load_htkdict append mode + enable_iwspword,
+    m_fusion.c initialize_dict)."""
+    from julius_tpu.io.htk_dict import parse_dict_line
+    for path in lm.adddict_paths:
+        with open(path, "rt", encoding="utf-8", errors="replace") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line.strip():
+                    try:
+                        parse_dict_line(line, voca)
+                    except Exception as e:
+                        if not lm.forcedict:
+                            raise
+                        jlog(LogLevel.WARNING,
+                             f"-forcedict: skipping bad entry: {e}")
+    entries = list(lm.addentries)
+    if lm.enable_iwspword:
+        entries.append(lm.iwspentry)
+    for line in entries:
+        try:
+            parse_dict_line(line.replace("\\t", "\t"), voca)
+        except Exception as e:
+            if not lm.forcedict:
+                raise
+            jlog(LogLevel.WARNING,
+                 f"-forcedict: skipping bad entry: {e}")
+
+
 def load_lm(lm: LMConfig):
     """Load LM per LM block.  Returns (lmtype, voca, ngram, dfa,
     word_cat)."""
@@ -88,6 +118,7 @@ def load_lm(lm: LMConfig):
         if not lm.dict_path:
             raise ValueError(f"LM '{lm.name}': ngram mode needs -v dict")
         voca = load_htkdict(lm.dict_path)
+        _apply_dict_extras(voca, lm)
         ngram = fwd = None
         if lm.ngram_path:
             if _is_bingram(lm.ngram_path):

@@ -139,6 +139,18 @@ class JconfParser:
                     self.am().iwcd_nbest = int(nxt())
             elif o in ("-force_ccd", "-no_ccd"):
                 self.am().force_mono = (o == "-no_ccd")
+            elif o in ("-spmodel", "-sp"):
+                self.am().spmodel_name = nxt()
+            elif o == "-multipath":
+                # topology is derived from the model itself here (any
+                # HTK transP decodes); accepted for parity
+                self.am().multipath_forced = True
+            elif o == "-sscalc":
+                self.am().sscalc = True
+            elif o == "-sscalclen":
+                self.am().sscalc_len_ms = int(nxt())
+            elif o == "-cmnupdate":
+                self.am().cmn_update = True
             # ---- front-end (Value para options) ----------------------
             elif o == "-smpFreq":
                 self.am().frontend.sample_rate = int(nxt())
@@ -182,6 +194,22 @@ class JconfParser:
                 self.am().frontend.zmeanframe = False
             elif o == "-usepower":
                 self.am().frontend.use_power = True
+            elif o == "-nousepower":
+                self.am().frontend.use_power = False
+            elif o == "-lopass":
+                self.am().frontend.lopass_hz = int(nxt())
+            elif o == "-hipass":
+                self.am().frontend.hipass_hz = int(nxt())
+            elif o == "-novtln":
+                fe = self.am().frontend
+                fe.vtln_alpha = 1.0
+                fe.vtln_lower = 100.0
+                fe.vtln_upper = -1.0
+            elif o == "-nocvn":
+                self.am().frontend.cvn = False
+            elif o == "-cvnstatic":
+                self.am().frontend.cvn = True
+                self.am().frontend.cvn_static = True
             elif o == "-vtln":
                 al, lo, up = nxt(3)
                 fe = self.am().frontend
@@ -239,6 +267,31 @@ class JconfParser:
                 self.lm().unk_name = nxt()
             elif o == "-iwsp":
                 self.lm().enable_iwsp = True
+            elif o == "-iwsppenalty":
+                self.lm().iwsp_penalty = float(nxt())
+            elif o == "-iwspword":
+                self.lm().enable_iwspword = True
+            elif o == "-iwspentry":
+                self.lm().iwspentry = nxt()
+            elif o == "-adddict":
+                self.lm().adddict_paths.append(self.path(nxt()))
+            elif o == "-addentry":
+                self.lm().addentries.append(nxt())
+            elif o == "-forcedict":
+                self.lm().forcedict = True
+            elif o == "-wlist":
+                self.lm().wordlist_path = self.path(nxt())
+                self.lm().lmtype = "word"
+            elif o == "-wsil":
+                h, t, c = nxt(3)
+                self.lm().wsil_head = h
+                self.lm().wsil_tail = t
+                self.lm().wsil_context = "" if c == "NULL" else c
+            elif o == "-nogram":
+                self.lm().ngram_path = None
+                self.lm().ngram_backward_path = None
+                self.lm().gram_prefix = None
+                self.lm().gramlist_path = None
             # ---- search ----------------------------------------------
             elif o == "-lmp":
                 w, p = nxt(2)
@@ -256,8 +309,10 @@ class JconfParser:
                 self.sr().transparent_penalty = float(nxt())
             elif o == "-b":
                 self.sr().beam_width = int(nxt())
-            elif o == "-b2":
-                self.sr().stack_size = int(nxt())
+            elif o in ("-b2", "-bw", "-wb"):
+                # word envelope width in pass 2 (reference m_options.c:
+                # enveloped_bestfirst_width; wb_ok)
+                self.sr().word_envelope = int(nxt())
             elif o == "-n":
                 self.sr().nbest = int(nxt())
             elif o == "-output":
@@ -294,6 +349,58 @@ class JconfParser:
                 self.sr().mbr = True
             elif o == "-nombr":
                 self.sr().mbr = False
+            elif o == "-mbr_wwer":
+                self.sr().mbr = True
+                self.sr().mbr_use_word_weights = True
+            elif o == "-mbr_weight":
+                self.sr().mbr_score_scale = float(nxt())
+            elif o == "-bs":
+                # pass-1 score-pruning beam (reference SCORE_PRUNING)
+                self.sr().score_prune_width = float(nxt())
+            elif o == "-graphout":
+                self.sr().graph_out = True
+            elif o == "-graphrange":
+                self.sr().graph_range = int(nxt())
+            elif o == "-graphcut":
+                self.sr().graph_cut_depth = int(nxt())
+            elif o == "-graphboundloop":
+                self.sr().graph_bound_loop = int(nxt())
+            elif o == "-graphsearchdelay":
+                self.sr().graph_search_delay = True
+            elif o == "-nographsearchdelay":
+                self.sr().graph_search_delay = False
+            elif o == "-cmthres":
+                self.sr().cm_thres = float(nxt())
+                self.sr().compute_confidence = True
+            elif o == "-cmthres2":
+                self.sr().cm_thres2 = float(nxt())
+            elif o == "-multigramout":
+                self.sr().multigram_out = True
+            elif o == "-nomultigramout":
+                self.sr().multigram_out = False
+            elif o == "-active":
+                self.sr().start_inactive = False
+            elif o == "-inactive":
+                self.sr().start_inactive = True
+            elif o == "-fallback1pass":
+                # pass-2 failure already falls back to the pass-1 result
+                # (engine.py _results, reference
+                # pass2_finalize_on_no_result)
+                self.sr().fallback_1pass = True
+            elif o == "-looktrellis":
+                # expansion is always restricted to trellis words here
+                # (pass2_rescan candidate sets); accepted for parity
+                pass
+            elif o == "-nlimit":
+                jlog(LogLevel.WARNING,
+                     "-nlimit applies to the reference's WPAIR build "
+                     "variant only; ignored (flat-lexicon pass 1 keeps "
+                     "one path per node like the non-WPAIR default)")
+                nxt()
+            elif o == "-wed":
+                # isolated-word early determination params (reference
+                # DETERMINE build); recorded only
+                nxt(2)
             # ---- input / global --------------------------------------
             elif o == "-input":
                 self.cfg.input_source = nxt()
@@ -375,6 +482,65 @@ class JconfParser:
                 self.cfg.progout = True
             elif o == "-proginterval":
                 self.cfg.proginterval_ms = int(nxt())
+            elif o == "-zmean":
+                self.cfg.zmean = True
+            elif o == "-nozmean":
+                self.cfg.zmean = False
+            elif o == "-lvscale":
+                self.cfg.level_coef = float(nxt())
+            elif o == "-48":
+                self.cfg.ds48 = True
+            elif o == "-nostrip":
+                self.cfg.nostrip = True
+            elif o == "-notypecheck":
+                self.cfg.typecheck = False
+            elif o == "-chunksize":
+                self.cfg.chunk_size = int(nxt())
+            elif o in ("-realtime", "-force_realtime"):
+                self.cfg.force_realtime = True
+            elif o == "-norealtime":
+                self.cfg.force_realtime = False
+            elif o in ("-spsegment", "-pausesegment"):
+                self.cfg.spsegment = True
+            elif o == "-nopausesegment":
+                self.cfg.spsegment = False
+            elif o == "-spdur":
+                self.cfg.sp_frame_duration = int(nxt())
+            elif o == "-pausemodels":
+                self.cfg.pause_models = [x for x in nxt().split(",") if x]
+            elif o in ("-spmargin", "-spdelay"):
+                # decoder-VAD rewind margin/delay (reference SPSEGMENT_
+                # NAIST); the streaming rewind keeps the whole trigger
+                # buffer so margins need no tuning — recorded only
+                nxt()
+            elif o == "-check":
+                self.cfg.check_modes.append(nxt())
+            elif o in ("-version", "-setting"):
+                self.cfg.check_modes.append("info")
+            elif o == "-userlm":
+                jlog(LogLevel.STAT,
+                     "-userlm: register the LM via "
+                     "Engine.register_user_lm (jfunc parity)")
+            elif o == "-discount":
+                jlog(LogLevel.WARNING,
+                     "option \"-discount\" is bogus, ignored "
+                     "(reference m_options.c:593)")
+            elif o in ("-oldtree", "-sepnum", "-iwcache", "-hugesize",
+                       "-separatescore_off"):
+                # shared-prefix-tree build internals (wchmm.c); the flat
+                # lexicon has no equivalent structure
+                jlog(LogLevel.WARNING,
+                     f"{o} shapes the reference's tree lexicon; the "
+                     "flat device lexicon has no equivalent, ignored")
+                if i + 1 < n and not a[i + 1].startswith("-"):
+                    i += 1
+            elif o == "-NA":
+                jlog(LogLevel.WARNING,
+                     "-NA (DatLink NetAudio) is not supported; use "
+                     "-input adinnet")
+                nxt()
+            elif o == "-callbackdebug":
+                self.cfg.debug = True
             elif o in ("-quiet", "-demo"):
                 self.cfg.quiet = True
             elif o == "-debug":

@@ -116,6 +116,24 @@ def check_lm_coverage(voca, lm) -> dict:
     }
 
 
+def check_engine(engine, mode: str) -> None:
+    """-check <mode> on a live engine (reference hmm_check.c /
+    wchmm_check.c interactive checkers, run non-interactively)."""
+    import json as _json
+    if mode == "triphone":
+        r = check_triphone_coverage(engine.hmm, engine.voca)
+    elif mode in ("wchmm", "network"):
+        r = check_network(engine.net)
+    elif mode == "hmm":
+        r = check_hmm(engine.hmm)
+    elif mode == "lm":
+        r = check_lm_coverage(engine.voca, engine.lm)
+    else:
+        raise ValueError(f"unknown -check mode '{mode}' "
+                         "(triphone|wchmm|hmm|lm)")
+    print(f"-check {mode}: " + _json.dumps(r, default=str))
+
+
 def main(argv=None):
     from julius_tpu.fusion import create_engines
     from julius_tpu.jconf import parse_jconf

@@ -183,6 +183,21 @@ def main(argv=None):
         from julius_tpu.utils.jlog import set_log_level
         set_log_level(LogLevel.WARNING)
     engines = create_engines(cfg)
+    if cfg.check_modes:
+        # -version/-setting/-check: engine info dump + model checkers
+        # (reference m_info.c print_engine_info, hmm_check.c,
+        # wchmm_check.c)
+        from julius_tpu.tools.checkmodel import check_engine
+        for mode in cfg.check_modes:
+            if mode == "info":
+                print(engines[0].describe())
+            else:
+                try:
+                    check_engine(engines[0], mode)
+                except Exception as e:
+                    jlog(LogLevel.WARNING, f"-check {mode}: {e}")
+        if not files and cfg.input_source == "file":
+            return 0
     plugins = None
     if cfg.plugin_dirs:
         from julius_tpu.plugins import PluginManager

@@ -188,3 +188,67 @@ def test_visualize_cli(model_dir, tmp_path):
     assert rc == 0
     txt = open(txt_out).read()
     assert "# trellis:" in txt and "*" in txt
+
+
+def test_extended_option_surface():
+    """VERDICT r3 #9: the remaining m_options.c options parse without
+    falling into the unknown-option path."""
+    from julius_tpu.jconf import JconfParser
+
+    p = JconfParser()
+    cfg = p.parse([
+        "-b2", "40", "-bs", "150.0", "-spmodel", "isp", "-multipath",
+        "-sscalc", "-sscalclen", "250", "-cmnupdate",
+        "-nousepower", "-novtln", "-nocvn", "-cvnstatic",
+        "-iwsppenalty", "-2.5", "-iwspword", "-iwspentry",
+        "<UNK> [sp] sp", "-forcedict", "-wsil", "silB", "silE", "NULL",
+        "-zmean", "-lvscale", "0.5", "-48", "-nostrip", "-notypecheck",
+        "-chunksize", "2000", "-realtime", "-spsegment", "-spdur", "12",
+        "-pausemodels", "sp,silB", "-graphrange", "3", "-graphcut",
+        "60", "-cmthres", "0.7", "-mbr_wwer", "-mbr_weight", "0.2",
+        "-fallback1pass", "-looktrellis", "-inactive",
+        "-fvad", "2", "-fvad_param", "7", "0.5",
+    ])
+    assert not p.unknown, f"unhandled: {p.unknown}"
+    sr = cfg.searches[0]
+    assert sr.word_envelope == 40
+    assert sr.score_prune_width == 150.0
+    assert sr.mbr and sr.mbr_use_word_weights
+    assert sr.start_inactive
+    am = cfg.ams[0]
+    assert am.spmodel_name == "isp" and am.multipath_forced
+    assert am.sscalc and am.sscalc_len_ms == 250
+    assert not am.frontend.use_power and am.frontend.cvn_static
+    lm = cfg.lms[0]
+    assert lm.iwsp_penalty == -2.5 and lm.enable_iwspword
+    assert lm.wsil_context == ""
+    assert cfg.zmean and cfg.level_coef == 0.5 and cfg.ds48
+    assert cfg.spsegment and cfg.sp_frame_duration == 12
+    assert cfg.pause_models == ["sp", "silB"]
+    assert cfg.fvad_mode == 2 and cfg.fvad_smooth == 7
+
+
+def test_engine_describe(models_basic=None):
+    """print_engine_info parity (m_info.c): the dump names the model
+    sizes and search configuration."""
+    import io as _io
+
+    import numpy as np
+    from julius_tpu.engine import Engine
+    from julius_tpu.io.arpa import parse_arpa
+    from julius_tpu.io.htk_dict import Vocabulary, parse_dict_line
+    from julius_tpu.io.htk_hmm import parse_hmmdefs_text
+    from fixtures import make_arpa_text, make_dict_text, \
+        make_hmmdefs_text
+
+    hmm = parse_hmmdefs_text(make_hmmdefs_text())
+    voca = Vocabulary()
+    for line in make_dict_text().splitlines():
+        parse_dict_line(line, voca)
+    lm = parse_arpa(_io.StringIO(make_arpa_text()))
+    eng = Engine(hmm, voca, lm)
+    info = eng.describe()
+    assert "acoustic model" in info and "language model" in info
+    assert f"vocabulary={voca.n_words}" in info
+    assert "pass2: rescan" in info
+    assert str(eng.net.n_nodes) in info
