@@ -58,6 +58,9 @@ class FrontendConfig:
     vtln_upper: float = -1.0
     ss_alpha: float = 2.0           # spectral subtraction factor
     ss_floor: float = 0.5
+    # -sscalc: frames of head input averaged into a per-utterance noise
+    # spectrum (0 = off; set from AMConfig.sscalc_len_ms by fusion)
+    sscalc_frames: int = 0
     # streaming MAP-CMN (reference wav2mfcc-pipe.c:342 CMN_realtime)
     cmn_map_weight: float = 100.0
     cmn_static: bool = False

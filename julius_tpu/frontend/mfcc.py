@@ -189,10 +189,17 @@ def extract_basic(
     spec = jnp.fft.rfft(windowed, n=nfft, axis=-1)    # [B, T, nfft/2+1]
     mag = jnp.abs(spec)[..., : nfft // 2]             # bins 0..nv2-1
 
-    if noise_spectrum is not None:
-        # spectral subtraction (reference ss in MakeFBank / ss.c:111)
+    if noise_spectrum is not None or cfg.sscalc_frames > 0:
+        # spectral subtraction (reference ss in MakeFBank / ss.c:111);
+        # -sscalc estimates the noise power per utterance from the head
+        # frames of the input itself (reference sscalc path,
+        # realtime-1stpass.c new_SS_calculate role)
         p2 = mag * mag
-        np2 = noise_spectrum[: nfft // 2] ** 2
+        if noise_spectrum is not None:
+            np2 = noise_spectrum[: nfft // 2] ** 2
+        else:
+            k = cfg.sscalc_frames
+            np2 = jnp.mean(p2[:, :k], axis=1, keepdims=True)
         sub = p2 - cfg.ss_alpha * np2
         mag = jnp.where(sub < 0, cfg.ss_floor * mag, jnp.sqrt(jnp.maximum(sub, 0)))
 

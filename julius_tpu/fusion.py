@@ -235,6 +235,10 @@ def create_engines(cfg: EngineConfig) -> List[Engine]:
                      dfa=dfa, word_cat=word_cat, lmtype=lmtype,
                      iwsp=lm_cfg.enable_iwsp, lm_forward=lm_fwd,
                      gshmm=gshmm)
+        if am_cfg.sscalc:
+            shift = am_cfg.frontend.shift_ms or 10.0
+            am_cfg.frontend.sscalc_frames = max(
+                1, int(am_cfg.sscalc_len_ms / shift))
         if am_cfg.ssload_path:
             from julius_tpu.io.ss import load_noise_spectrum
             eng.set_noise_spectrum(load_noise_spectrum(am_cfg.ssload_path))

@@ -270,6 +270,17 @@ def main(argv=None):
                 lens[j] = d.shape[0]
         else:
             waves = [read_audio(p) for p in chunk]
+            if cfg.ds48:
+                # -48: 48 kHz input decimated to 16 kHz (reference
+                # ds48to16.c; Kaiser-windowed FIR here)
+                from julius_tpu.adin.native_wrapper import NativeDecimator
+                dec = NativeDecimator(factor=3)
+                waves = [dec.feed(w) for w in waves]
+            if cfg.level_coef != 1.0:
+                waves = [w * cfg.level_coef for w in waves]
+            if cfg.zmean:
+                # -zmean: whole-utterance DC offset removal (zmean.c)
+                waves = [w - float(np.mean(w)) for w in waves]
             if plugins is not None:
                 waves = [plugins.adin_postprocess(w) for w in waves]
             L = max(len(w) for w in waves)
