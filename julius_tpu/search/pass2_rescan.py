@@ -272,8 +272,27 @@ class _ReqPool:
         key = (b, row, w)
         ris = self._by_key.get(key)
         if ris is None:
+            # fast path: fresh key (the overwhelmingly common case) —
+            # bulk-assign slots without the per-anchor search
             ris = []
             self._by_key[key] = ris
+            out = []
+            r = None
+            ri = -1
+            for t in ts:
+                if r is None or len(r.anchors) >= A_CAND:
+                    r = _Req(b, w, parent, lm, elo, lcc)
+                    r.elo = elo
+                    ri = len(self.reqs)
+                    self.reqs.append(r)
+                    ris.append(ri)
+                s = len(r.anchors)
+                r.anchors.append(t)
+                r.slots[t] = s
+                if t > r.hi:
+                    r.hi = t
+                out.append((ri, s))
+            return out
         out = []
         for t in ts:
             placed = None
@@ -375,50 +394,56 @@ class ScanDispatcher:
         sanch = np.full((n, A_CAND), LOG_ZERO, np.float32)
         pending = []                    # (indices, dev_ganch/banch/sanch)
         dead_w = self.tabs.n_words      # pad chain scores LOG_ZERO
+        kw = {}
+        if self.iwcd2 is not None:
+            kw = dict(head_sidx=self.iwcd2.head_sidx,
+                      head_ns=self.iwcd2.head_ns)
         for W in sorted(set(wb.tolist())):
             idxs = np.nonzero(wb == W)[0]
             for ofs in range(0, len(idxs), K_BUCKETS[-1]):
                 chunk = idxs[ofs:ofs + K_BUCKETS[-1]]
                 K = len(chunk)
                 Kb = _bucket_k(K)
-                wids = np.full(Kb, dead_w, np.int32)
-                parents = np.full(Kb, -1, np.int32)
+                # one packed int upload per chunk: columns (wid, parent,
+                # bidx, row, t0, lcc, anchors[A]); pad rows point past
+                # the store so their writes are dropped
+                ints = np.zeros((Kb, 6 + A_CAND), np.int32)
+                ints[:, 0] = dead_w
+                ints[:, 1] = -1
+                ints[:, 3] = self.pool.cap
                 lm = np.zeros(Kb, np.float32)
-                bidx = np.zeros(Kb, np.int32)
-                # pads point past the store; their writes are dropped
-                rows = np.full(Kb, self.pool.cap, np.int32)
-                t0 = np.zeros(Kb, np.int32)
-                lcc = np.zeros(Kb, np.int32)
-                anchors = np.zeros((Kb, A_CAND), np.int32)
                 for j, ri in enumerate(chunk):
                     r = reqs[ri]
-                    wids[j] = r.w
-                    parents[j] = (r.parent.row if r.parent is not None
-                                  else -1)
+                    row_j = ints[j]
+                    row_j[0] = r.w
+                    if r.parent is not None:
+                        row_j[1] = r.parent.row
+                    row_j[2] = r.b
                     lm[j] = r.lm
-                    bidx[j] = r.b
-                    t0[j] = t0s[ri]
-                    lcc[j] = r.lcc
+                    row_j[4] = t0s[ri]
+                    row_j[5] = r.lcc
                     if not self.pool.free:
                         self._grow()
                     h = RowHandle(self.pool.alloc(), self.pool)
                     handles[ri] = h
-                    rows[j] = h.row
+                    row_j[3] = h.row
                     if r.anchors:
-                        anchors[j, :len(r.anchors)] = r.anchors
-                kw = {}
-                if self.iwcd2 is not None:
-                    kw = dict(head_sidx=self.iwcd2.head_sidx,
-                              head_ns=self.iwcd2.head_ns,
-                              lcc=jnp.asarray(lcc))
+                        row_j[6:6 + len(r.anchors)] = r.anchors
                 self.g_store, self.beg_store, ga, ba, sa = self._fn(W)(
                     self.g_store, self.beg_store,
                     self.tabs.loc, self.tabs.ent, self.tabs.ext,
                     self.tabs.sidx,
-                    jnp.asarray(wids), jnp.asarray(parents),
-                    jnp.asarray(lm), jnp.asarray(bidx),
-                    jnp.asarray(rows), jnp.asarray(t0),
-                    jnp.asarray(anchors), self.out_flat, **kw)
+                    jnp.asarray(ints), jnp.asarray(lm),
+                    self.out_flat, **kw)
+                # start the D2H copies NOW so every chunk's download is
+                # in flight before the first blocking np.asarray below
+                # (the tunnel charges ~tens of ms per blocking transfer;
+                # serial downloads dominated pass-2 wall at 356 chunks)
+                for a in (ga, ba, sa):
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
                 pending.append((chunk, K, ga, ba, sa))
                 self.n_scans += K
         # block on downloads only after every chunk is in flight: one
@@ -563,26 +588,36 @@ def _cand_for(st: _UttState, tau: int, lr: int, strategy) -> \
             order = np.lexsort((-s, w))
             w, e, m, b, s = (w[order], e[order], m[order], b[order],
                              s[order])
+            Tl = lat.T
+            # per-word earliest begin (window lo) over ALL atoms, before
+            # end-frame dedup
+            starts0 = np.r_[0, 1 + np.nonzero(np.diff(w))[0]]
+            min_b = np.minimum.reduceat(b, starts0)
+            lo_of = dict(zip(w[starts0].astype(int).tolist(),
+                             min_b.astype(int).tolist()))
+            # dedup (word, end) keeping the best-estimate atom: the
+            # array is sorted by (w, -s), so np.unique's first
+            # occurrence per key IS the best atom for that pair (one
+            # global unique instead of one per word — the per-word
+            # version was a measured host hotspot at ~150k calls/decode)
+            key = w * (Tl + 1) + e
+            _, first = np.unique(key, return_index=True)
+            w, e, m, s = w[first], e[first], m[first], s[first]
+            order = np.lexsort((-s, w))
+            w, e, m, s = w[order], e[order], m[order], s[order]
             starts = np.r_[0, 1 + np.nonzero(np.diff(w))[0]]
             ends = np.r_[starts[1:], len(w)]
             head_s = s[starts]                 # per-word best estimate
             top = np.argsort(-head_s, kind="stable")[:MAX_NEXT_WORDS]
             words, anchor_ts, t2m, lo = [], [], [], []
-            Tl = lat.T
             for gi in top.tolist():
                 if not np.isfinite(head_s[gi]):
                     continue                   # no continuation anywhere
                 g0, g1 = int(starts[gi]), int(ends[gi])
                 wi = int(w[g0])
-                eg = e[g0:g1]
-                # distinct end frames, best atom per end (group is
-                # sorted best-first, so the first occurrence wins)
-                _, first = np.unique(eg, return_index=True)
-                if len(first) > A_CAND:
-                    first = first[np.argsort(s[g0:g1][first],
-                                             kind="stable")[::-1][:A_CAND]]
-                ts = eg[first].astype(int).tolist()
-                m_of = dict(zip(ts, m[g0:g1][first].astype(int).tolist()))
+                g1 = min(g1, g0 + A_CAND)      # best A_CAND ends
+                ts = e[g0:g1].astype(int).tolist()
+                m_of = dict(zip(ts, m[g0:g1].astype(int).tolist()))
                 if strategy.may_final(wi) and Tl - 1 not in m_of:
                     if len(ts) >= A_CAND:
                         ts = ts[:-1]
@@ -591,7 +626,7 @@ def _cand_for(st: _UttState, tau: int, lr: int, strategy) -> \
                 words.append(wi)
                 anchor_ts.append(ts)
                 t2m.append(m_of)
-                lo.append(int(min(b[g0:g1].min(), tau - lr)) - WIN_PAD)
+                lo.append(min(lo_of[wi], tau - lr) - WIN_PAD)
             if words:
                 cs = _Cands(words, anchor_ts, t2m, lo)
     st.cands[(tau, lr)] = cs

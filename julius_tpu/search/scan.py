@@ -372,15 +372,12 @@ def _scan_core_win(loc: jnp.ndarray, ent: jnp.ndarray, ext: jnp.ndarray,
 def scan_words_store_win(g_store: jnp.ndarray, beg_store: jnp.ndarray,
                          loc_all: jnp.ndarray, ent_all: jnp.ndarray,
                          ext_all: jnp.ndarray, sidx_all: jnp.ndarray,
-                         wids: jnp.ndarray, parents: jnp.ndarray,
-                         lm_adds: jnp.ndarray, bidx: jnp.ndarray,
-                         out_rows: jnp.ndarray, t0: jnp.ndarray,
-                         anchors: jnp.ndarray, out_flat: jnp.ndarray,
+                         ints: jnp.ndarray, lm_adds: jnp.ndarray,
+                         out_flat: jnp.ndarray,
                          W: int, T: int, R: int,
                          scan_beam: float = 0.0,
                          head_sidx: Optional[jnp.ndarray] = None,
-                         head_ns: Optional[jnp.ndarray] = None,
-                         lcc: Optional[jnp.ndarray] = None):
+                         head_ns: Optional[jnp.ndarray] = None):
     """Windowed device-resident A* round (see `scan_words_store`).
 
     Each chain k scans only frames [t0[k], t0[k] + W): words span ~30
@@ -392,10 +389,23 @@ def scan_words_store_win(g_store: jnp.ndarray, beg_store: jnp.ndarray,
     the window return LOG_ZERO.  g/beg rows are written only inside the
     window (rows start LOG_ZERO, so out-of-window frames stay dead).
 
+    All integer per-chain inputs ride in ONE packed upload `ints`
+    [K, 6 + A] int32 with columns (wid, parent_row, bidx, out_row, t0,
+    lcc, anchors[A]): the host<->TPU tunnel charges per transfer, so
+    eight small uploads per chunk would cost more latency than the
+    payload (measured 356 chunks x 8 uploads dominating pass-2 wall).
+
     out_flat = out_ext.reshape(-1) for a [B, T, R] outprob cache.
     Returns (g_store', beg_store', ganch, banch, sanch) like
     `scan_words_store`.
     """
+    wids = ints[:, 0]
+    parents = ints[:, 1]
+    bidx = ints[:, 2]
+    out_rows = ints[:, 3]
+    t0 = ints[:, 4]
+    lcc = ints[:, 5]
+    anchors = ints[:, 6:]
     K = wids.shape[0]
     loc = loc_all[wids]
     ent = ent_all[wids]
