@@ -259,6 +259,9 @@ class SearchConfig:
     enable_pass2: bool = True
     pass2_rescan: bool = True       # acoustic re-scan (scan_word parity);
                                     # False = freeze AM at pass-1 scores
+    pass2_device: bool = True       # run the A* fully on device when the
+                                    # config allows (pass2_device.py);
+                                    # False = host-driven re-scan always
     strict_iwcd2: bool = False      # strict inter-word CD in the re-scan
                                     # (reference --enable-setup=standard,
                                     # search_bestfirst_v2.c; v1 pseudo

@@ -471,6 +471,31 @@ class Engine:
                 raise
         return self._device_chains
 
+    def _cprob_arr(self):
+        return (np.asarray(self.voca.cprob, dtype=np.float32)
+                if self.voca.cprob and any(self.voca.cprob) else None)
+
+    def _device_astar_ok(self) -> bool:
+        """True when the second pass can run fully on device
+        (search/pass2_device.py): forward N-gram of order <= 2 shared
+        with pass 1, no transparent-word LM context skipping, no
+        strict-IWCD v2 head override, and no during-search graph
+        collection.  Everything else keeps the host-driven re-scan
+        (pass2_rescan.py), which implements the full semantics."""
+        sc = self.search_cfg
+        if not sc.pass2_device or self.lmtype != "ngram":
+            return False
+        if self.lm is None or self.lm is not self.lm_p1 \
+                or self.ngram_dev is None:
+            return False
+        if getattr(self.lm, "order", 99) > 2:
+            return False
+        if sc.strict_iwcd2 or self._want_p2_graph():
+            return False
+        if self.voca.transparent and any(self.voca.transparent):
+            return False
+        return True
+
     def _rescan_strategy(self):
         if self.lmtype == "grammar":
             return p2r.DfaStrategy(self.dfa, self.word_cat, self.search_cfg)
@@ -507,13 +532,21 @@ class Engine:
             elif want_p2:
                 out[b] = self._pass2_result(tb, int(nfr[b]))
         if rescan and any(l is not None for l in lattices):
-            disp = p2r.ScanDispatcher(self.device_chains, out_ext,
-                                      self.search_cfg.scan_beam,
-                                      iwcd2=self.iwcd2_tables)
-            graphs = [] if self._want_p2_graph() else None
-            nbest_lists = p2r.rescan_nbest_batch(
-                lattices, disp, self._rescan_strategy(), self.search_cfg,
-                graphs=graphs)
+            graphs = None
+            if self._device_astar_ok():
+                from julius_tpu.search import pass2_device as p2d
+                nbest_lists = p2d.run_batch(
+                    lattices, self.device_chains, self.ngram_dev,
+                    self._wid2lm_p2, self._cprob_arr(), out_ext,
+                    self._rescan_strategy(), self.search_cfg)
+            else:
+                disp = p2r.ScanDispatcher(self.device_chains, out_ext,
+                                          self.search_cfg.scan_beam,
+                                          iwcd2=self.iwcd2_tables)
+                graphs = [] if self._want_p2_graph() else None
+                nbest_lists = p2r.rescan_nbest_batch(
+                    lattices, disp, self._rescan_strategy(),
+                    self.search_cfg, graphs=graphs)
             for b in range(B):
                 if lattices[b] is not None and nbest_lists[b]:
                     out[b] = self._assemble_pass2(
@@ -647,7 +680,14 @@ class Engine:
         search (pass2_rescan); otherwise the frozen-score search."""
         lattice = p2.TrellisLattice(tb, n_frames)
         gwords = None
-        if out_ext is not None and self._rescan_ok():
+        if out_ext is not None and self._rescan_ok() \
+                and self._device_astar_ok():
+            from julius_tpu.search import pass2_device as p2d
+            nbest = p2d.run_batch(
+                [lattice], self.device_chains, self.ngram_dev,
+                self._wid2lm_p2, self._cprob_arr(), out_ext,
+                self._rescan_strategy(), self.search_cfg)[0]
+        elif out_ext is not None and self._rescan_ok():
             disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                       self.search_cfg.scan_beam,
                                       iwcd2=self.iwcd2_tables)

@@ -1,0 +1,703 @@
+"""Pass-2 A* stack decoding resident entirely on device.
+
+The host-driven re-scan A* (`pass2_rescan.py`) pays one host<->TPU
+round trip per batched round plus Python bookkeeping per expansion;
+through the tunnel that floor is tens of seconds per utterance batch.
+This module runs the WHOLE second pass — stack, pops, word re-scans,
+LM probes, pushes, N-best termination — inside one jitted
+`lax.while_loop`, so a full batch's A* costs one dispatch.
+
+Algorithmically this is the reference's stack decoder with the
+scan-at-pop structure of `search_bestfirst_main.c:787` (wchmm_fbs):
+
+* a stack entry is a sentence prefix whose LAST word has not yet been
+  acoustically re-scanned; its priority is the parent's exact g at the
+  word's trellis begin + the pass-2 LM add + the word's pass-1 AM span
+  score + the pass-1 suffix estimate (the reference pushes NEXTWORD
+  candidates scored from the backtrellis the same way,
+  `ngram_decode.c:566` ngram_nextwords + `search.h` NODE score);
+* popping an entry runs the seeded word Viterbi against the outprob
+  cache (`search_bestfirst_v1.c:589` scan_word; `scan._scan_core` —
+  one lax.scan advances all B*P popped words at once), which re-derives
+  the exact score and refined boundary; the exact g row is stored so
+  every descendant seeds from it.  The pop is LAZY (deferred-evaluation
+  A*): a freshly scanned entry is re-pushed with its exact priority and
+  only expands on its second pop, so expansion order and the N-best
+  termination test run on exact scores — estimates only order the
+  queue, where (with the dilated-max entry bound below) they are
+  near-admissible;
+* next-word candidates come from trellis atoms whose begin frame falls
+  within +-lookup_range of the boundary (`ngram_decode.c:428`), the
+  stack keeps the best `stack_size` entries (-s), and a hypothesis
+  completes when the sentence-tail word is popped at the final frame
+  with nothing on the stack estimating above the n-best-th completion
+  (`search_bestfirst_main.c:1645` acceptance ordering).
+
+Differences from the host path, chosen for device-shaped execution:
+
+* duplicate suppression is a keep-best merge over the (last word,
+  boundary anchor, previous word) class at every push, instead of the
+  host's pop-time `seen` map — for a 2-gram LM that class captures the
+  LM context exactly, so the merge is the reference's hypothesis
+  recombination done eagerly;
+* the word envelope (-b2 wb_ok) is approximated by the per-pop child
+  cap and the global stack trim (both score-ranked);
+* supported configuration: forward N-gram LM of order <= 2 shared with
+  pass 1, no transparent words, no strict-IWCD v2; anything else takes
+  the host path (`engine._device_astar_ok`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from julius_tpu.config import SearchConfig
+from julius_tpu.search.ngram_device import DeviceNgram, bigram_score
+from julius_tpu.search.pass2 import NBestResult, TrellisLattice
+from julius_tpu.search.scan import DeviceChainTables, _scan_core
+from julius_tpu.utils.logadd import LOG_ZERO
+
+NEG_HALF = LOG_ZERO / 2
+NEG_INF = float("-inf")
+
+#: hypotheses popped per utterance per round
+POPS = 8
+#: candidate atoms gathered per pop (window of +-lookup_range begin
+#: frames; at most (2*lr+1) * trellis-M atoms can fall in the window)
+CA_MAX = 768
+#: children kept per pop after ranking (MAX_NEXT_WORDS-analogue)
+CHILD_KEEP = 64
+#: completion slots tracked per utterance (host filters to nbest)
+NB_SLOTS = 8
+
+#: trace-time debug printing (jax.debug.print per round; tests only)
+_DEBUG = False
+
+
+@dataclass
+class _Prepared:
+    """Host-built per-batch inputs for the device A*."""
+
+    ab: np.ndarray        # [B, NA] atom begin frames (sorted per utt)
+    ae: np.ndarray        # [B, NA] atom end frames
+    aw: np.ndarray        # [B, NA] atom word ids
+    ainc: np.ndarray      # [B, NA] atom pass-1 AM span score
+    rest: np.ndarray      # [B, T] suffix estimate (LOG_ZERO = dead)
+    last: np.ndarray      # [B] final frame per utt (-1 = skip)
+    stack0: Tuple[np.ndarray, ...]   # initial stack field arrays
+
+
+def _suffix_estimate_np(ab, ae, inc, T, lr, fmax):
+    """rest[t] = best pass-1 continuation covering frames t+1..T-1.
+
+    Like pass2_rescan._suffix_estimate the chain step admits begin
+    frames in [t+1-lr, t+1+lr] (pass-1 boundaries are approximate, so
+    strict adjacency misses exactly the misplaced-boundary paths the
+    re-scan exists to recover), but frames SKIPPED by a late entry are
+    charged `fmax` — the frame's best senone outprob — instead of being
+    forgiven.  Free skips compound into estimates tens of thousands of
+    log points optimistic on low-evidence audio (the queue then churns
+    on junk prefixes no completion can match); charging the per-frame
+    maximum keeps the estimate optimistic (A*-admissible w.r.t. any
+    real path, which must cover those frames at <= fmax each) yet
+    tight.  Overlapping entries double-count their frames — slightly
+    pessimistic, bounded by one word span."""
+    cfm = np.concatenate([[0.0], np.cumsum(fmax)])   # cfm[k] = sum <k
+    rest = np.full(T + 1, -np.inf)
+    rest[T - 1] = 0.0
+    for t in range(T - 2, -1, -1):
+        i0 = np.searchsorted(ab, t + 1 - lr)
+        i1 = np.searchsorted(ab, t + 1 + lr, side="right")
+        best = -np.inf
+        if i1 > i0:
+            b = ab[i0:i1]
+            e = ae[i0:i1]
+            skip = np.where(b > t + 1, cfm[np.minimum(b, T)] - cfm[t + 1],
+                            0.0)
+            v = skip + inc[i0:i1] + rest[e]
+            v = np.where(e > t, v, -np.inf)
+            if len(v):
+                best = v.max()
+        rest[t] = best
+    return rest[:T]
+
+
+def _best_lm_in(strategy, n_words: int) -> np.ndarray:
+    """best_in[w] = an upper bound on log10 P(w | any context) under
+    the strategy's N-gram: max of the best bigram into w and the
+    unigram+best-back-off path.  Used to make the suffix estimate's
+    per-word LM charge optimistic — pass-1 atoms record the LM of
+    pass-1's OWN best predecessor, and inheriting that (often back-off)
+    cost makes the estimate pessimistic exactly on the paths whose
+    context pass 2 is supposed to fix, burying them below junk and
+    burning the word envelope before they pop."""
+    lm = getattr(strategy, "lm", None)
+    wid2lm = getattr(strategy, "wid2lm", None)
+    out = np.full(n_words, -99.0, np.float64)
+    if lm is None or wid2lm is None:
+        return out
+    Vl = len(lm.words)
+    uni = np.full(Vl, -99.0)
+    bo = np.zeros(Vl)
+    for (i,), (lp, b) in lm.ngrams[0].items():
+        uni[i] = lp
+        bo[i] = b
+    best_bi = np.full(Vl, -np.inf)
+    if lm.order >= 2:
+        for (v, w), (lp, _b) in lm.ngrams[1].items():
+            if lp > best_bi[w]:
+                best_bi[w] = lp
+    max_bo = max(0.0, bo.max()) if Vl else 0.0
+    best = np.maximum(uni + max_bo, best_bi)
+    wl = np.asarray(wid2lm)
+    okm = wl >= 0
+    out[okm] = best[np.clip(wl, 0, Vl - 1)][okm]
+    return out
+
+
+def prepare(lattices: List[Optional[TrellisLattice]], T: int,
+            strategy, cfg: SearchConfig, stack_size: int,
+            fmax: Optional[np.ndarray] = None,
+            cprob_np: Optional[np.ndarray] = None) -> _Prepared:
+    """Build the per-batch atom tables, suffix estimates, and initial
+    stacks (sentence-head candidates at frame 0, reference
+    get_backtrellis_words' first-word seeding, ngram_decode.c:334)."""
+    B = len(lattices)
+    lr = max(0, int(cfg.lookup_range))
+    lw2v = float(cfg.lm_weight2)
+    pen2v = float(cfg.lm_penalty2)
+    n_vocab = 0
+    for lat in lattices:
+        if lat is not None and lat.T:
+            n_vocab = max(n_vocab, int(lat.word.max()) + 1)
+    best_in = _best_lm_in(strategy, max(1, n_vocab))
+    na = 1
+    per = []
+    for lat in lattices:
+        if lat is None or lat.T == 0:
+            per.append(None)
+            continue
+        t_idx, m_idx = np.nonzero(lat.word >= 0)
+        b = lat.begin[t_idx, m_idx].astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        ab = b[order]
+        ae = t_idx[order].astype(np.int64)
+        aw = lat.word[t_idx, m_idx][order].astype(np.int64)
+        asc = lat.score[t_idx, m_idx][order].astype(np.float64)
+        alm = lat.lm[t_idx, m_idx][order].astype(np.float64)
+        prev = lat.prev[t_idx, m_idx][order]
+        pt, pm = np.divmod(np.maximum(prev, 0), lat.M)
+        pscore = np.where(prev >= 0, lat.score[pt, pm], 0.0)
+        # AM-only span score of the atom's word (pass-1 LM removed):
+        # the estimate adds the PASS-2 LM instead
+        ainc = asc - pscore - alm
+        # the suffix DP estimate re-weights the atoms' pass-1 LM
+        # portion into the PASS-2 scale: exact scores accumulate
+        # lm_weight2-weighted probs, so feeding raw pass-1-weighted
+        # scores over/under-estimates by (lw2-lw1)*|log p| per
+        # remaining word whenever the weights differ — enough to
+        # degenerate the A* into breadth-first churn
+        # optimistic per-word LM charge (see _best_lm_in): the
+        # exact path accumulates lw2 * log10 P(w|ctx) + pen2, so
+        # the estimate charges the best possible context
+        lm_opt = (lw2v * best_in[aw] + pen2v
+                  + (cprob_np[aw] if cprob_np is not None else 0.0))
+        inc_est = ainc + lm_opt
+        fm = (fmax[len(per), :lat.T] if fmax is not None
+              else np.zeros(lat.T))
+        rest = _suffix_estimate_np(ab, ae, inc_est, lat.T, lr, fm)
+        per.append((ab, ae, aw, ainc, rest))
+        na = max(na, len(ab))
+    ab_a = np.full((B, na), 1 << 30, np.int32)
+    ae_a = np.zeros((B, na), np.int32)
+    aw_a = np.zeros((B, na), np.int32)
+    ainc_a = np.full((B, na), LOG_ZERO, np.float32)
+    rest_a = np.full((B, T), LOG_ZERO, np.float32)
+    last_a = np.full(B, -1, np.int32)
+    S = stack_size
+    s_prio = np.full((B, S), NEG_INF, np.float32)
+    s_w = np.zeros((B, S), np.int32)
+    s_t = np.zeros((B, S), np.int32)
+    s_prev = np.full((B, S), -1, np.int32)
+    s_parent = np.full((B, S), -1, np.int32)
+    s_lm_add = np.zeros((B, S), np.float32)
+    s_lm_sum = np.zeros((B, S), np.float32)
+    s_row = np.full((B, S), -1, np.int32)
+    s_len = np.ones((B, S), np.int32)
+    for bidx, (lat, p) in enumerate(zip(lattices, per)):
+        if p is None:
+            continue
+        ab, ae, aw, ainc, rest = p
+        n = len(ab)
+        ab_a[bidx, :n] = ab
+        ae_a[bidx, :n] = ae
+        aw_a[bidx, :n] = aw
+        ainc_a[bidx, :n] = ainc
+        rest_a[bidx, :lat.T] = np.where(np.isfinite(rest), rest, LOG_ZERO)
+        last_a[bidx] = lat.T - 1
+        # initial candidates: atoms beginning at frame 0 (lr = 0 for
+        # the sentence-initial lookup), deduped (word, end) best-first
+        i1 = np.searchsorted(ab, 0, side="right")
+        if i1 == 0:
+            last_a[bidx] = -1
+            continue
+        w0, e0, inc0 = aw[:i1], ae[:i1], ainc[:i1]
+        r0 = rest[e0]
+        lm0 = np.array([strategy.lm_add((), int(w)) for w in w0],
+                       np.float64)
+        est = lm0 + inc0 + r0
+        est = np.where(np.isfinite(est), est, NEG_INF)
+        key = w0 * (T + 1) + e0
+        order = np.lexsort((-est, key))
+        keep = np.r_[True, key[order][1:] != key[order][:-1]]
+        sel = order[keep]
+        sel = sel[np.argsort(-est[sel], kind="stable")][:S]
+        n0 = len(sel)
+        s_prio[bidx, :n0] = est[sel]
+        s_w[bidx, :n0] = w0[sel]
+        s_t[bidx, :n0] = e0[sel]
+        s_lm_add[bidx, :n0] = lm0[sel]
+        s_lm_sum[bidx, :n0] = lm0[sel]
+    return _Prepared(
+        ab=ab_a, ae=ae_a, aw=aw_a, ainc=ainc_a, rest=rest_a, last=last_a,
+        stack0=(s_prio, s_w, s_t, s_prev, s_parent, s_lm_add, s_lm_sum,
+                s_row, s_len))
+
+
+@partial(jax.jit, static_argnames=(
+    "P", "S", "CA", "CK", "CAPP", "max_rounds", "T", "lr", "tail",
+    "nbest", "lw2", "pen2", "wb"))
+def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
+                wid2lm, cprobv, out_ext,
+                ab, ae, aw, ainc, rest, last, stack0,
+                *, P: int, S: int, CA: int, CK: int, CAPP: int,
+                max_rounds: int, T: int, lr: int, tail: int,
+                nbest: int, lw2: float, pen2: float, wb: int):
+    """One dispatch = the whole batched A*.  Returns (results, arena,
+    stores); see `run_batch` for the host-side decoding of the outputs.
+    """
+    B = out_ext.shape[0]
+    R = out_ext.shape[2]
+    V_dead = loc_all.shape[0] - 1
+    K = B * P
+    bvec = jnp.arange(B, dtype=jnp.int32)
+
+    g_store = jnp.full((B * CAPP, T), LOG_ZERO, jnp.float32)
+    beg_store = jnp.zeros((B * CAPP, T), jnp.int32)
+    arena_w = jnp.full((B, CAPP), -1, jnp.int32)
+    arena_t = jnp.zeros((B, CAPP), jnp.int32)
+    arena_parent = jnp.full((B, CAPP), -1, jnp.int32)
+    arena_lm_sum = jnp.zeros((B, CAPP), jnp.float32)
+    res_score = jnp.full((B, NB_SLOTS), NEG_INF, jnp.float32)
+    res_arena = jnp.full((B, NB_SLOTS), -1, jnp.int32)
+    n_pops = jnp.zeros(B, jnp.int32)
+    active = last >= 0
+    round_i = jnp.int32(0)
+    LEN_CAP = 128
+    env_cnt = jnp.zeros((B, LEN_CAP), jnp.int32)
+
+    state = (stack0, g_store, beg_store, arena_w, arena_t, arena_parent,
+             arena_lm_sum, res_score, res_arena, n_pops, active, round_i,
+             env_cnt)
+
+    def cond(state):
+        active = state[10]
+        round_i = state[11]
+        return jnp.any(active) & (round_i < max_rounds)
+
+    def body(state):
+        (stack, g_store, beg_store, arena_w, arena_t, arena_parent,
+         arena_lm_sum, res_score, res_arena, n_pops, active,
+         round_i, env_cnt) = state
+        (s_prio, s_w, s_t, s_prev, s_parent, s_lm_add, s_lm_sum,
+         s_row, s_len) = stack
+
+        # ---- pop the top P entries of every active utterance
+        pprio = s_prio[:, :P]
+        pw = s_w[:, :P]
+        pt = s_t[:, :P]
+        pprev = s_prev[:, :P]
+        pparent = s_parent[:, :P]
+        plm_add = s_lm_add[:, :P]
+        plm_sum = s_lm_sum[:, :P]
+        prow_own = s_row[:, :P]
+        plen = s_len[:, :P]
+        valid = (pprio > NEG_HALF) & active[:, None]
+        scanned = valid & (prow_own >= 0)
+        fresh = valid & (prow_own < 0)
+
+        # ---- arena slots for this round (one row per pop slot; only
+        # fresh pops consume theirs — a scanned pop's row already holds
+        # its exact g from its first pop)
+        base = round_i * P
+        aidx = base + jnp.arange(P, dtype=jnp.int32)[None, :]   # [B, P]
+        rows = bvec[:, None] * CAPP + aidx                       # [B, P]
+
+        # ---- scan-at-(first-)pop: seeded word Viterbi for the popped
+        # word of every fresh entry (scanned re-pops ride a dead chain)
+        wids = jnp.where(fresh, pw, V_dead).reshape(K)
+        prow = jnp.where(pparent >= 0,
+                         bvec[:, None] * CAPP + pparent, 0).reshape(K)
+        pg = g_store[prow]                                       # [K, T]
+        has_parent = (pparent >= 0).reshape(K)
+        ext_seed = jnp.concatenate(
+            [jnp.full((K, 1), LOG_ZERO, jnp.float32), pg[:, :-1]],
+            axis=1) + plm_add.reshape(K)[:, None]
+        init_seed = jnp.full((K, T), LOG_ZERO, jnp.float32) \
+            .at[:, 0].set(plm_add.reshape(K))
+        seed = jnp.where(has_parent[:, None], ext_seed, init_seed)
+        bidx = jnp.repeat(bvec, P)
+        g, beg, _sv = _scan_core(
+            loc_all[wids], ent_all[wids], ext_all[wids], sidx_all[wids],
+            seed, bidx, out_ext)                                 # [K, T]
+        g_store = g_store.at[rows.reshape(K)].set(g)
+        beg_store = beg_store.at[rows.reshape(K)].set(beg)
+        exact = jnp.take_along_axis(
+            g.reshape(B, P, T), pt[..., None], axis=2)[..., 0]   # [B, P]
+
+        # ---- arena append (fresh pops only carry a word)
+        arena_w = jax.lax.dynamic_update_slice(
+            arena_w, jnp.where(fresh, pw, -1), (0, base))
+        arena_t = jax.lax.dynamic_update_slice(arena_t, pt, (0, base))
+        arena_parent = jax.lax.dynamic_update_slice(
+            arena_parent, pparent, (0, base))
+        arena_lm_sum = jax.lax.dynamic_update_slice(
+            arena_lm_sum, plm_sum, (0, base))
+
+        # ---- completions: tail word first-popped at the final frame
+        # (exact known right away, no re-push needed)
+        is_final = (fresh & (pw == tail) & (pt == last[:, None])
+                    & (exact > NEG_HALF))
+        comp_s = jnp.where(is_final, exact, NEG_INF)
+        # the n-best termination below counts DISTINCT sentences;
+        # boundary variants of one sequence complete at (near-)equal
+        # scores, so score-identical completions are dropped (the host
+        # path dedups by word sequence after download the same way)
+        close_prev = jnp.any(
+            jnp.abs(comp_s[:, :, None] - res_score[:, None, :]) < 1e-3,
+            axis=2)
+        close_self = jnp.any(
+            (jnp.abs(comp_s[:, :, None] - comp_s[:, None, :]) < 1e-3)
+            & (jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :]),
+            axis=2)
+        comp_s = jnp.where(close_prev | close_self, NEG_INF, comp_s)
+        rs2 = jnp.concatenate([res_score, comp_s], axis=1)
+        ra2 = jnp.concatenate(
+            [res_arena, jnp.broadcast_to(aidx, (B, P))], axis=1)
+        order_r = jnp.argsort(-rs2, axis=1, stable=True)[:, :NB_SLOTS]
+        res_score = jnp.take_along_axis(rs2, order_r, axis=1)
+        res_arena = jnp.take_along_axis(ra2, order_r, axis=1)
+
+        # ---- lazy A* re-push: fresh non-final pops go back on the
+        # stack with their EXACT priority and their own g row; they
+        # expand on their second pop, so expansion order and the
+        # termination test below see exact scores only
+        rest_pt = jnp.take_along_axis(rest, pt, axis=1)          # [B, P]
+        repush = fresh & ~is_final & (exact > NEG_HALF) \
+            & (rest_pt > NEG_HALF)
+        r_prio = jnp.where(repush, exact + rest_pt, NEG_INF)
+
+        # ---- next-word candidates for SCANNED pops: trellis atoms
+        # whose begin falls in +-lr of the boundary
+        # (ngram_decode.c:428 ngram_nextwords)
+        tau = pt + 1                                             # [B, P]
+        # word envelope (-b2 wb_ok, search_bestfirst_main.c:847):
+        # at most `wb` hypotheses of each length may expand; with
+        # inexact push estimates this is what bounds re-expansion
+        # churn (there is no persistent host-style `seen` set here)
+        lidx = jnp.clip(plen, 0, LEN_CAP - 1)
+        env_ok = jnp.take_along_axis(env_cnt, lidx, axis=1) < wb
+        expandable = scanned & (pw != tail) & env_ok
+        env_cnt = env_cnt.at[bvec[:, None], lidx].add(
+            expandable.astype(jnp.int32))
+        i0 = jax.vmap(
+            lambda a, v: jnp.searchsorted(a, v, side="left"))(
+            ab, tau - lr)                                        # [B, P]
+        idx = i0[..., None] + jnp.arange(CA, dtype=jnp.int32)    # [B,P,CA]
+        NA = ab.shape[1]
+        inb = idx < NA
+        idxc = jnp.minimum(idx, NA - 1).reshape(B, P * CA)
+        cb = jnp.take_along_axis(ab, idxc, axis=1).reshape(B, P, CA)
+        ce = jnp.take_along_axis(ae, idxc, axis=1).reshape(B, P, CA)
+        cw = jnp.take_along_axis(aw, idxc, axis=1).reshape(B, P, CA)
+        cinc = jnp.take_along_axis(ainc, idxc, axis=1).reshape(B, P, CA)
+        ok = (inb & expandable[..., None]
+              & (cb <= (tau + lr)[..., None])
+              & (ce >= tau[..., None]) & (cb >= 1))
+        # a tail-word child is only useful anchored at the final frame
+        # (completion) and a non-tail child never is (it could neither
+        # complete nor expand past the utterance) — prune both
+        at_last = ce == last[:, None, None]
+        ok = ok & ((cw == tail) == at_last)
+        # pass-2 LM: weighted 2-gram with back-off (device hash probe)
+        v_lm = wid2lm[pw][..., None]                             # [B,P,1]
+        w_lm = wid2lm[cw]
+        lp = bigram_score(ng, jnp.broadcast_to(v_lm, w_lm.shape), w_lm)
+        lp = jnp.where(w_lm < 0, -99.0, lp)
+        lm_add_c = lw2 * lp + pen2 + cprobv[cw]
+        # estimate: parent's exact g near the atom's begin + LM + the
+        # atom's pass-1 AM span + suffix estimate from its end.  The
+        # entry bound takes the max of g over +-lr frames around the
+        # pass-1 begin: pinning it at exactly begin-1 underestimates
+        # whenever the boundary shifts under this parent, and a
+        # pessimistic bound buries viable prefixes below completed
+        # junk (A* needs optimism for its termination test)
+        g_own = g_store[jnp.where(scanned,
+                                  bvec[:, None] * CAPP + prow_own,
+                                  0).reshape(K)].reshape(B, P, T)
+        g_dil = g_own
+        for d in range(1, lr + 1):
+            g_dil = jnp.maximum(
+                g_dil,
+                jnp.pad(g_own[..., d:], ((0, 0), (0, 0), (0, d)),
+                        constant_values=LOG_ZERO))
+            g_dil = jnp.maximum(
+                g_dil,
+                jnp.pad(g_own[..., :-d], ((0, 0), (0, 0), (d, 0)),
+                        constant_values=LOG_ZERO))
+        gb = jnp.take_along_axis(
+            g_dil, jnp.clip(cb - 1, 0, T - 1), axis=2)           # [B,P,CA]
+        rest_e = jnp.take_along_axis(
+            rest, ce.reshape(B, P * CA), axis=1).reshape(B, P, CA)
+        est = gb + lm_add_c + cinc + rest_e
+        ok = ok & (gb > NEG_HALF) & (rest_e > NEG_HALF) \
+            & (cinc > NEG_HALF)
+        prio_c = jnp.where(ok, est, NEG_INF)
+        # keep the best CK children per pop (MAX_NEXT_WORDS analogue)
+        top_p, top_i = jax.lax.top_k(prio_c, CK)                 # [B,P,CK]
+        c_w = jnp.take_along_axis(cw, top_i, axis=2).reshape(B, P * CK)
+        c_t = jnp.take_along_axis(ce, top_i, axis=2).reshape(B, P * CK)
+        c_lm_add = jnp.take_along_axis(lm_add_c, top_i, axis=2) \
+            .reshape(B, P * CK)
+        c_prio = top_p.reshape(B, P * CK)
+        c_prev = jnp.broadcast_to(pw[..., None],
+                                  (B, P, CK)).reshape(B, P * CK)
+        c_parent = jnp.broadcast_to(prow_own[..., None],
+                                    (B, P, CK)).reshape(B, P * CK)
+        c_lm_sum = (jnp.broadcast_to(plm_sum[..., None], (B, P, CK))
+                    .reshape(B, P * CK) + c_lm_add)
+        c_row = jnp.full((B, P * CK), -1, jnp.int32)
+        c_len = (jnp.broadcast_to(plen[..., None], (B, P, CK))
+                 .reshape(B, P * CK) + 1)
+
+        # ---- merge stack remainder + re-pushes + children; recombine
+        m_prio = jnp.concatenate([s_prio[:, P:], r_prio, c_prio], axis=1)
+        m_w = jnp.concatenate([s_w[:, P:], pw, c_w], axis=1)
+        m_t = jnp.concatenate([s_t[:, P:], pt, c_t], axis=1)
+        m_prev = jnp.concatenate([s_prev[:, P:], pprev, c_prev], axis=1)
+        m_parent = jnp.concatenate(
+            [s_parent[:, P:], pparent, c_parent], axis=1)
+        m_lm_add = jnp.concatenate(
+            [s_lm_add[:, P:], plm_add, c_lm_add], axis=1)
+        m_lm_sum = jnp.concatenate(
+            [s_lm_sum[:, P:], plm_sum, c_lm_sum], axis=1)
+        m_row = jnp.concatenate(
+            [s_row[:, P:], jnp.broadcast_to(aidx, (B, P)), c_row], axis=1)
+        m_len = jnp.concatenate([s_len[:, P:], plen, c_len], axis=1)
+        # hypothesis recombination: (last word, anchor, prev word) is
+        # the full continuation class under a 2-gram — keep the best
+        # (three stable argsorts emulate a lexsort by (key, prev, -prio))
+        key = m_w * (T + 1) + m_t
+        o1 = jnp.argsort(-m_prio, axis=1, stable=True)
+        key1 = jnp.take_along_axis(key, o1, axis=1)
+        prev1 = jnp.take_along_axis(m_prev, o1, axis=1)
+        o2 = jnp.argsort(prev1, axis=1, stable=True)
+        key2 = jnp.take_along_axis(key1, o2, axis=1)
+        o12 = jnp.take_along_axis(o1, o2, axis=1)
+        o3 = jnp.argsort(key2, axis=1, stable=True)
+        perm = jnp.take_along_axis(o12, o3, axis=1)
+        keyf = jnp.take_along_axis(key, perm, axis=1)
+        prevf = jnp.take_along_axis(m_prev, perm, axis=1)
+        same = jnp.concatenate(
+            [jnp.zeros((B, 1), bool),
+             (keyf[:, 1:] == keyf[:, :-1])
+             & (prevf[:, 1:] == prevf[:, :-1])], axis=1)
+        # admit up to `nbest` entries per class (the host `seen` map
+        # keeps cfg.nbest g values per (atom, LM context) the same way)
+        Nm = keyf.shape[1]
+        posv = jnp.arange(Nm, dtype=jnp.int32)[None, :]
+        grp_start = jax.lax.cummax(
+            jnp.where(~same, posv, 0), axis=1)
+        dup = (posv - grp_start) >= nbest
+        priof = jnp.where(
+            dup, NEG_INF, jnp.take_along_axis(m_prio, perm, axis=1))
+        # final trim to stack_size by priority
+        o4 = jnp.argsort(-priof, axis=1, stable=True)[:, :S]
+        permf = jnp.take_along_axis(perm, o4, axis=1)
+        ns_prio = jnp.take_along_axis(priof, o4, axis=1)
+        ns_w = jnp.take_along_axis(m_w, permf, axis=1)
+        ns_t = jnp.take_along_axis(m_t, permf, axis=1)
+        ns_prev = jnp.take_along_axis(m_prev, permf, axis=1)
+        ns_parent = jnp.take_along_axis(m_parent, permf, axis=1)
+        ns_lm_add = jnp.take_along_axis(m_lm_add, permf, axis=1)
+        ns_lm_sum = jnp.take_along_axis(m_lm_sum, permf, axis=1)
+        ns_row = jnp.take_along_axis(m_row, permf, axis=1)
+        ns_len = jnp.take_along_axis(m_len, permf, axis=1)
+
+        if _DEBUG:
+            m39 = (cw == 3) & (ce == 39) & (pw[..., None] == 2)
+            jax.debug.print(
+                "   w1->w2@39: ok={o} gb={g:.1f} lm={l:.1f} "
+                "cinc={c:.1f} rest={re:.1f} est={e:.1f}",
+                o=jnp.sum(m39[0] & ok[0]),
+                g=jnp.max(jnp.where(m39[0], gb[0], NEG_INF)),
+                l=jnp.max(jnp.where(m39[0], lm_add_c[0], NEG_INF)),
+                c=jnp.max(jnp.where(m39[0], cinc[0], NEG_INF)),
+                re=jnp.max(jnp.where(m39[0], rest_e[0], NEG_INF)),
+                e=jnp.max(jnp.where(m39[0], est[0], NEG_INF)))
+            tail_child = (c_w == tail) & (c_prio > NEG_HALF)
+            jax.debug.print(
+                "r={r} top={top:.1f} fresh={f} scanned={s} fin={fin} "
+                "exact0={e0:.1f} pw0={w0} pt0={t0} tailc={tc} "
+                "tailbest={tb:.1f} cbest={cb:.1f} exp={ex}\n"
+                "   stack w={sw} t={st} prio={sp} row={sr}",
+                r=round_i, top=ns_prio[0, 0],
+                f=jnp.sum(fresh[0]), s=jnp.sum(scanned[0]),
+                fin=jnp.sum(is_final[0]), e0=exact[0, 0],
+                w0=pw[0, 0], t0=pt[0, 0],
+                tc=jnp.sum(tail_child[0]),
+                tb=jnp.max(jnp.where(tail_child[0], c_prio[0], NEG_INF)),
+                cb=jnp.max(c_prio[0]), ex=jnp.sum(expandable[0]),
+                sw=ns_w[0, :10], st=ns_t[0, :10],
+                sp=ns_prio[0, :10], sr=ns_row[0, :10])
+
+        # ---- termination bookkeeping (expansions count as the -m pop
+        # budget; the exact-scan re-pop is bookkeeping)
+        n_pops = n_pops + jnp.sum(scanned, axis=1, dtype=jnp.int32)
+        n_res = jnp.sum(res_score > NEG_HALF, axis=1)
+        kth = res_score[:, nbest - 1]
+        top = ns_prio[:, 0]
+        done = ((n_res >= nbest) & (top <= kth + 1e-6)) \
+            | (top <= NEG_HALF) | (n_pops >= CAPP - P)
+        active = active & ~done
+
+        return ((ns_prio, ns_w, ns_t, ns_prev, ns_parent, ns_lm_add,
+                 ns_lm_sum, ns_row, ns_len), g_store, beg_store,
+                arena_w, arena_t, arena_parent, arena_lm_sum,
+                res_score, res_arena, n_pops, active, round_i + 1,
+                env_cnt)
+
+    state = jax.lax.while_loop(cond, body, state)
+    (_, g_store, beg_store, arena_w, arena_t, arena_parent,
+     arena_lm_sum, res_score, res_arena, n_pops, _, round_i,
+     _env) = state
+    return (res_score, res_arena, arena_w, arena_t, arena_parent,
+            arena_lm_sum, beg_store, n_pops, round_i)
+
+
+def run_batch(lattices: List[Optional[TrellisLattice]],
+              tabs: DeviceChainTables, ng: DeviceNgram,
+              wid2lm: np.ndarray, cprob: Optional[np.ndarray],
+              out_ext, strategy, cfg: SearchConfig,
+              ) -> List[List[NBestResult]]:
+    """Device A* over a whole utterance batch; returns per-utterance
+    N-best lists (empty list = pass-1 fallback, like the host path)."""
+    B, T, R = out_ext.shape
+    S = max(64, int(cfg.stack_size))
+    P = POPS
+    # arena capacity bounds total pops per utterance (the -m budget,
+    # capped so the g/beg stores stay within a few hundred MB)
+    capp_mem = max(256, int((384 << 20) / max(1, B * T * 8)) // P * P)
+    CAPP = min(max(P * 32, int(cfg.max_hypo_pop) // P * P), capp_mem)
+    max_rounds = CAPP // P
+    # per-frame best outprob: the admissible charge for frames the
+    # suffix estimate skips over
+    fmax = np.asarray(jnp.max(out_ext, axis=2))
+    prep = prepare(lattices, T, strategy, cfg, S, fmax, cprob)
+    if not (prep.last >= 0).any():
+        return [[] for _ in range(B)]
+    NA = prep.ab.shape[1]
+    CA = min(CA_MAX, NA)
+    CK = min(CHILD_KEEP, CA)
+    cprobv = (np.zeros(tabs.loc.shape[0], np.float32) if cprob is None
+              else np.append(cprob.astype(np.float32), 0.0))
+    if cprob is not None and len(cprobv) < tabs.loc.shape[0]:
+        cprobv = np.pad(cprobv, (0, tabs.loc.shape[0] - len(cprobv)))
+    wid2lm_v = np.append(wid2lm.astype(np.int32), -1)
+    if len(wid2lm_v) < tabs.loc.shape[0]:
+        wid2lm_v = np.pad(wid2lm_v, (0, tabs.loc.shape[0] - len(wid2lm_v)),
+                          constant_values=-1)
+    out = _astar_loop(
+        tabs.loc, tabs.ent, tabs.ext, tabs.sidx, ng,
+        jnp.asarray(wid2lm_v[:tabs.loc.shape[0]]),
+        jnp.asarray(cprobv[:tabs.loc.shape[0]]),
+        out_ext,
+        jnp.asarray(prep.ab), jnp.asarray(prep.ae), jnp.asarray(prep.aw),
+        jnp.asarray(prep.ainc), jnp.asarray(prep.rest),
+        jnp.asarray(prep.last),
+        tuple(jnp.asarray(a) for a in prep.stack0),
+        P=P, S=S, CA=CA, CK=CK, CAPP=CAPP, max_rounds=max_rounds,
+        T=T, lr=max(0, int(cfg.lookup_range)),
+        tail=int(strategy.tail_word), nbest=int(cfg.nbest),
+        lw2=float(cfg.lm_weight2), pen2=float(cfg.lm_penalty2),
+        wb=(int(cfg.word_envelope) if cfg.enveloped else 1 << 30))
+    (res_score, res_arena, arena_w, arena_t, arena_parent,
+     arena_lm_sum, beg_store, n_pops, round_i) = out
+    res_score = np.asarray(res_score)
+    res_arena = np.asarray(res_arena)
+    arena_w = np.asarray(arena_w)
+    arena_t = np.asarray(arena_t)
+    arena_parent = np.asarray(arena_parent)
+    arena_lm_sum = np.asarray(arena_lm_sum)
+
+    # reconstruct word sequences; fetch beg rows for the winners only
+    chains: List[List[Tuple[int, List[int]]]] = []
+    for b in range(B):
+        per = []
+        for k in range(NB_SLOTS):
+            if res_score[b, k] <= NEG_HALF:
+                continue
+            ai = int(res_arena[b, k])
+            idxs = []
+            while ai >= 0:
+                idxs.append(ai)
+                ai = int(arena_parent[b, ai])
+            idxs.reverse()
+            per.append((k, idxs))
+        chains.append(per)
+    CAPP_used = arena_w.shape[1]
+    rows_flat: List[int] = []
+    for b, per in enumerate(chains):
+        for _, idxs in per:
+            rows_flat.extend(b * CAPP_used + ai for ai in idxs)
+    begs = (np.asarray(beg_store[jnp.asarray(rows_flat)])
+            if rows_flat else np.zeros((0, T), np.int32))
+    pos = 0
+    results: List[List[NBestResult]] = []
+    for b in range(B):
+        per_out: List[NBestResult] = []
+        seen_seqs = set()
+        lat = lattices[b]
+        for k, idxs in chains[b]:
+            n = len(idxs)
+            rows = begs[pos:pos + n]
+            pos += n
+            words = [int(arena_w[b, ai]) for ai in idxs]
+            seq = tuple(words)
+            if seq in seen_seqs or any(w < 0 for w in words):
+                continue
+            seen_seqs.add(seq)
+            Tb = lat.T
+            bounds: List[Tuple[int, int]] = []
+            e = Tb - 1
+            for wi in range(n - 1, -1, -1):
+                b0 = int(rows[wi][e]) if e >= 0 else 0
+                b0 = max(0, min(b0, e))
+                bounds.append((b0, e))
+                e = b0 - 1
+            bounds.reverse()
+            exact = float(res_score[b, k])
+            lm_sum = float(arena_lm_sum[b, idxs[-1]])
+            per_out.append(NBestResult(
+                word_ids=words, score=exact,
+                am_score=exact - lm_sum, lm_score=lm_sum,
+                bounds=bounds))
+        per_out.sort(key=lambda r: -r.score)
+        results.append(per_out[:cfg.nbest])
+    return results
