@@ -539,6 +539,42 @@ class Engine:
                     lattices, self.device_chains, self.ngram_dev,
                     self._wid2lm_p2, self._cprob_arr(), out_ext,
                     self._rescan_strategy(), self.search_cfg)
+                # per-utterance robustness net: the device A* trades
+                # some host-path search exactness for the single-
+                # dispatch execution model; utterances where it came
+                # back empty, or clearly below the pass-1 path's own
+                # total (same score scale when the pass weights match),
+                # re-run through the host re-scan
+                retry = [None] * B
+                for b, lat in enumerate(lattices):
+                    if lat is None:
+                        continue
+                    if not nbest_lists[b]:
+                        retry[b] = lat
+                        continue
+                    sc = self.search_cfg
+                    if (sc.lm_weight == sc.lm_weight2
+                            and sc.lm_penalty == sc.lm_penalty2):
+                        p1best = float(np.max(np.where(
+                            lat.word[lat.T - 1] >= 0,
+                            lat.score[lat.T - 1], -np.inf)))
+                        if np.isfinite(p1best) and \
+                                nbest_lists[b][0].score < p1best - 10.0:
+                            retry[b] = lat
+                if any(l is not None for l in retry):
+                    disp = p2r.ScanDispatcher(
+                        self.device_chains, out_ext,
+                        self.search_cfg.scan_beam,
+                        iwcd2=self.iwcd2_tables)
+                    host_lists = p2r.rescan_nbest_batch(
+                        retry, disp, self._rescan_strategy(),
+                        self.search_cfg)
+                    for b in range(B):
+                        if retry[b] is not None and host_lists[b]:
+                            if (not nbest_lists[b]
+                                    or host_lists[b][0].score
+                                    > nbest_lists[b][0].score):
+                                nbest_lists[b] = host_lists[b]
             else:
                 disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                           self.search_cfg.scan_beam,
@@ -687,6 +723,24 @@ class Engine:
                 [lattice], self.device_chains, self.ngram_dev,
                 self._wid2lm_p2, self._cprob_arr(), out_ext,
                 self._rescan_strategy(), self.search_cfg)[0]
+            sc = self.search_cfg
+            weak = not nbest
+            if nbest and sc.lm_weight == sc.lm_weight2 \
+                    and sc.lm_penalty == sc.lm_penalty2:
+                p1best = float(np.max(np.where(
+                    lattice.word[lattice.T - 1] >= 0,
+                    lattice.score[lattice.T - 1], -np.inf)))
+                weak = np.isfinite(p1best) and \
+                    nbest[0].score < p1best - 10.0
+            if weak:
+                disp = p2r.ScanDispatcher(self.device_chains, out_ext,
+                                          sc.scan_beam,
+                                          iwcd2=self.iwcd2_tables)
+                host = p2r.rescan_nbest_batch(
+                    [lattice], disp, self._rescan_strategy(), sc)[0]
+                if host and (not nbest
+                             or host[0].score > nbest[0].score):
+                    nbest = host
         elif out_ext is not None and self._rescan_ok():
             disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                       self.search_cfg.scan_beam,

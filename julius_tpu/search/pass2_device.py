@@ -78,6 +78,7 @@ NB_SLOTS = 8
 
 #: trace-time debug printing (jax.debug.print per round; tests only)
 _DEBUG = False
+_TRACK = ()
 
 
 @dataclass
@@ -99,18 +100,21 @@ def _suffix_estimate_np(ab, ae, inc, T, lr, fmax):
     Like pass2_rescan._suffix_estimate the chain step admits begin
     frames in [t+1-lr, t+1+lr] (pass-1 boundaries are approximate, so
     strict adjacency misses exactly the misplaced-boundary paths the
-    re-scan exists to recover), but frames SKIPPED by a late entry are
-    charged `fmax` — the frame's best senone outprob — instead of being
-    forgiven.  Free skips compound into estimates tens of thousands of
-    log points optimistic on low-evidence audio (the queue then churns
-    on junk prefixes no completion can match); charging the per-frame
-    maximum keeps the estimate optimistic (A*-admissible w.r.t. any
-    real path, which must cover those frames at <= fmax each) yet
-    tight.  Overlapping entries double-count their frames — slightly
-    pessimistic, bounded by one word span."""
+    re-scan exists to recover), but every frame of boundary slack is
+    charged through `fmax`, the frame's best senone outprob: a gap
+    (late entry) ADDS the skipped frames' fmax — any real path must
+    cover them at <= fmax each, so the bound stays admissible — and an
+    overlap (early entry) SUBTRACTS the doubled frames' fmax.  Without
+    the charge the estimate compounds a free |score| per slack frame
+    per word — thousands of log points off in either direction (DNN
+    outprobs are positive after prior division, GMM scores negative),
+    and the queue either churns on junk or buries the truth, burning
+    the word envelope before the real path pops."""
     cfm = np.concatenate([[0.0], np.cumsum(fmax)])   # cfm[k] = sum <k
+    chain = np.full(T + 1, -np.inf)
     rest = np.full(T + 1, -np.inf)
-    rest[T - 1] = 0.0
+    chain[T - 1] = rest[T - 1] = 0.0
+    G = 2 * lr                       # max bridged hole length
     for t in range(T - 2, -1, -1):
         i0 = np.searchsorted(ab, t + 1 - lr)
         i1 = np.searchsorted(ab, t + 1 + lr, side="right")
@@ -118,14 +122,62 @@ def _suffix_estimate_np(ab, ae, inc, T, lr, fmax):
         if i1 > i0:
             b = ab[i0:i1]
             e = ae[i0:i1]
-            skip = np.where(b > t + 1, cfm[np.minimum(b, T)] - cfm[t + 1],
-                            0.0)
-            v = skip + inc[i0:i1] + rest[e]
+            adj = cfm[np.clip(b, 0, T)] - cfm[t + 1]
+            v = adj + inc[i0:i1] + rest[e]
             v = np.where(e > t, v, -np.inf)
             if len(v):
                 best = v.max()
+        chain[t] = best
+        # hole bridging: begin frames cluster at pass-1's recorded
+        # predecessor boundaries, so the window alone leaves coverage
+        # HOLES (rest = -inf) that kill every hypothesis anchored near
+        # them.  Bridge up to G frames at their fmax charge, but only
+        # ONTO a real chain step — an unbounded fmax bridge outscores
+        # every actual word chain (fmax ignores the HMM and LM
+        # constraints a covering path must pay) and floods the queue
+        # with optimism instead
+        for g in range(1, min(G, T - 2 - t) + 1):
+            if np.isfinite(chain[t + g]):
+                best = max(best,
+                           cfm[t + 1 + g] - cfm[t + 1] + chain[t + g])
         rest[t] = best
     return rest[:T]
+
+
+def _best_path_rest(lat: TrellisLattice, lw1: float,
+                    lw2: float) -> Optional[np.ndarray]:
+    """Suffix-score curve of pass-1's best path: rest1[t] = (path
+    total) - (path cumulative through frame t), linearly interpolated
+    inside word spans, with each word's pass-1 LM portion re-weighted
+    by lw2/lw1.  The best path tiles every frame, so this estimate is
+    finite everywhere and achievable by construction."""
+    T, M = lat.T, lat.M
+    row_s = np.where(lat.word[T - 1] >= 0, lat.score[T - 1], -np.inf)
+    if not np.isfinite(row_s).any():
+        return None
+    m = int(np.argmax(row_s))
+    ratio = (lw2 / lw1) if lw1 else 1.0
+    ends, cums = [], []
+    a = (T - 1) * M + m
+    raw = []
+    while a >= 0:
+        t, mm = divmod(a, M)
+        raw.append((t, float(lat.score[t, mm]), float(lat.lm[t, mm])))
+        a = int(lat.prev[t, mm])
+    raw.reverse()
+    cum = 0.0
+    prev_raw = 0.0
+    for (t, c, l) in raw:
+        inc = c - prev_raw
+        prev_raw = c
+        cum += inc + l * (ratio - 1.0)
+        ends.append(t)
+        cums.append(cum)
+    total = cums[-1]
+    xp = np.asarray([-1] + ends, dtype=np.float64)
+    fp = np.asarray([0.0] + cums)
+    cum_at = np.interp(np.arange(T), xp, fp)
+    return (total - cum_at).astype(np.float64)
 
 
 def _best_lm_in(strategy, n_words: int) -> np.ndarray:
@@ -139,6 +191,8 @@ def _best_lm_in(strategy, n_words: int) -> np.ndarray:
     burning the word envelope before they pop."""
     lm = getattr(strategy, "lm", None)
     wid2lm = getattr(strategy, "wid2lm", None)
+    if wid2lm is not None:
+        n_words = max(n_words, len(wid2lm))
     out = np.full(n_words, -99.0, np.float64)
     if lm is None or wid2lm is None:
         return out
@@ -157,14 +211,15 @@ def _best_lm_in(strategy, n_words: int) -> np.ndarray:
     best = np.maximum(uni + max_bo, best_bi)
     wl = np.asarray(wid2lm)
     okm = wl >= 0
-    out[okm] = best[np.clip(wl, 0, Vl - 1)][okm]
+    out[:len(wl)][okm] = best[np.clip(wl, 0, Vl - 1)][okm]
     return out
 
 
 def prepare(lattices: List[Optional[TrellisLattice]], T: int,
             strategy, cfg: SearchConfig, stack_size: int,
             fmax: Optional[np.ndarray] = None,
-            cprob_np: Optional[np.ndarray] = None) -> _Prepared:
+            cprob_np: Optional[np.ndarray] = None,
+            best_in: Optional[np.ndarray] = None) -> _Prepared:
     """Build the per-batch atom tables, suffix estimates, and initial
     stacks (sentence-head candidates at frame 0, reference
     get_backtrellis_words' first-word seeding, ngram_decode.c:334)."""
@@ -172,11 +227,12 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
     lr = max(0, int(cfg.lookup_range))
     lw2v = float(cfg.lm_weight2)
     pen2v = float(cfg.lm_penalty2)
-    n_vocab = 0
-    for lat in lattices:
-        if lat is not None and lat.T:
-            n_vocab = max(n_vocab, int(lat.word.max()) + 1)
-    best_in = _best_lm_in(strategy, max(1, n_vocab))
+    if best_in is None:
+        n_vocab = 0
+        for lat in lattices:
+            if lat is not None and lat.T:
+                n_vocab = max(n_vocab, int(lat.word.max()) + 1)
+        best_in = _best_lm_in(strategy, max(1, n_vocab))
     na = 1
     per = []
     for lat in lattices:
@@ -212,6 +268,15 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
         fm = (fmax[len(per), :lat.T] if fmax is not None
               else np.zeros(lat.T))
         rest = _suffix_estimate_np(ab, ae, inc_est, lat.T, lr, fm)
+        # anchor the estimate on pass-1's own best path: a REAL path
+        # covering every frame, so its suffix curve has no holes and no
+        # compounding per-word bounds — the atom-chain DP above can
+        # only raise it where a better continuation provably exists.
+        # (LM portions re-weighted into the pass-2 scale.)
+        r1 = _best_path_rest(lat, float(cfg.lm_weight),
+                             float(cfg.lm_weight2))
+        if r1 is not None:
+            rest = np.maximum(rest, r1)
         per.append((ab, ae, aw, ainc, rest))
         na = max(na, len(ab))
     ab_a = np.full((B, na), 1 << 30, np.int32)
@@ -274,8 +339,8 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
     "P", "S", "CA", "CK", "CAPP", "max_rounds", "T", "lr", "tail",
     "nbest", "lw2", "pen2", "wb"))
 def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
-                wid2lm, cprobv, out_ext,
-                ab, ae, aw, ainc, rest, last, stack0,
+                wid2lm, cprobv, lm_opt_w, out_ext,
+                ab, ae, aw, ainc, rest, cfm, last, stack0,
                 *, P: int, S: int, CA: int, CK: int, CAPP: int,
                 max_rounds: int, T: int, lr: int, tail: int,
                 nbest: int, lw2: float, pen2: float, wb: int):
@@ -301,10 +366,12 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
     round_i = jnp.int32(0)
     LEN_CAP = 128
     env_cnt = jnp.zeros((B, LEN_CAP), jnp.int32)
+    ENV_H = 8192
+    env_seen = jnp.zeros((B, ENV_H), jnp.int32)
 
     state = (stack0, g_store, beg_store, arena_w, arena_t, arena_parent,
              arena_lm_sum, res_score, res_arena, n_pops, active, round_i,
-             env_cnt)
+             env_cnt, env_seen)
 
     def cond(state):
         active = state[10]
@@ -314,7 +381,7 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
     def body(state):
         (stack, g_store, beg_store, arena_w, arena_t, arena_parent,
          arena_lm_sum, res_score, res_arena, n_pops, active,
-         round_i, env_cnt) = state
+         round_i, env_cnt, env_seen) = state
         (s_prio, s_w, s_t, s_prev, s_parent, s_lm_add, s_lm_sum,
          s_row, s_len) = stack
 
@@ -331,6 +398,20 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         valid = (pprio > NEG_HALF) & active[:, None]
         scanned = valid & (prow_own >= 0)
         fresh = valid & (prow_own < 0)
+        # envelope class key (see the wb_ok block below); fresh
+        # pops of a full, never-admitted class are killed before
+        # they spend their scan + re-push pop pair
+        lidx = jnp.clip(plen, 0, LEN_CAP - 1)
+        ekey = (((plen.astype(jnp.uint32) * jnp.uint32(2654435761)
+                  ^ pw.astype(jnp.uint32) * jnp.uint32(40503))
+                 ^ (pprev.astype(jnp.uint32) * jnp.uint32(2246822519)))
+                % jnp.uint32(ENV_H)).astype(jnp.int32)
+        eseen = jnp.take_along_axis(env_seen, ekey, axis=1) > 0
+        env_ok = eseen | (jnp.take_along_axis(env_cnt, lidx, axis=1)
+                          < wb)
+        is_tail_pop = pw == tail
+        fresh = fresh & (env_ok | is_tail_pop)
+        valid = fresh | scanned
 
         # ---- arena slots for this round (one row per pop slot; only
         # fresh pops consume theirs — a scanned pop's row already holds
@@ -408,13 +489,19 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         # (ngram_decode.c:428 ngram_nextwords)
         tau = pt + 1                                             # [B, P]
         # word envelope (-b2 wb_ok, search_bestfirst_main.c:847):
-        # at most `wb` hypotheses of each length may expand; with
-        # inexact push estimates this is what bounds re-expansion
-        # churn (there is no persistent host-style `seen` set here)
-        lidx = jnp.clip(plen, 0, LEN_CAP - 1)
-        env_ok = jnp.take_along_axis(env_cnt, lidx, axis=1) < wb
+        # at most `wb` hypothesis CLASSES of each length may expand;
+        # with inexact push estimates this is what bounds re-expansion
+        # churn (there is no persistent host-style `seen` set here).
+        # The budget is charged per (length, word, prev) class, not per
+        # pop: one word's boundary-anchor variants are the same
+        # sentence hypothesis (the host path counts distinct word
+        # sequences the same way) and would otherwise burn the whole
+        # per-length budget by themselves
         expandable = scanned & (pw != tail) & env_ok
+        newclass = expandable & ~eseen
         env_cnt = env_cnt.at[bvec[:, None], lidx].add(
+            newclass.astype(jnp.int32))
+        env_seen = env_seen.at[bvec[:, None], ekey].max(
             expandable.astype(jnp.int32))
         i0 = jax.vmap(
             lambda a, v: jnp.searchsorted(a, v, side="left"))(
@@ -431,16 +518,20 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
               & (cb <= (tau + lr)[..., None])
               & (ce >= tau[..., None]) & (cb >= 1))
         # a tail-word child is only useful anchored at the final frame
-        # (completion) and a non-tail child never is (it could neither
-        # complete nor expand past the utterance) — prune both
-        at_last = ce == last[:, None, None]
-        ok = ok & ((cw == tail) == at_last)
-        # pass-2 LM: weighted 2-gram with back-off (device hash probe)
-        v_lm = wid2lm[pw][..., None]                             # [B,P,1]
-        w_lm = wid2lm[cw]
-        lp = bigram_score(ng, jnp.broadcast_to(v_lm, w_lm.shape), w_lm)
-        lp = jnp.where(w_lm < 0, -99.0, lp)
-        lm_add_c = lw2 * lp + pen2 + cprobv[cw]
+        # (completion), so FORCE its anchor there — pass 1 often records
+        # the tail's best atom ending a few frames short and the exact
+        # scan re-derives the true boundary anyway (the host path's
+        # defensive Tl-1 anchor, pass2_rescan._cand_for).  A non-tail
+        # child at the final frame is dead weight (it could neither
+        # complete nor expand past the utterance) — prune it.
+        ce = jnp.where(cw == tail,
+                       jnp.broadcast_to(last[:, None, None], ce.shape), ce)
+        ok = ok & ((cw == tail) | (ce != last[:, None, None]))
+        # admission ranks with the OPTIMISTIC per-word LM bound (one
+        # array gather); the exact 2-gram hash probe below runs only on
+        # the CK survivors — probing all CA candidates was ~3M chained
+        # hash-row gathers per round, the measured round hotspot
+        lm_opt_c = lm_opt_w[cw]
         # estimate: parent's exact g near the atom's begin + LM + the
         # atom's pass-1 AM span + suffix estimate from its end.  The
         # entry bound takes the max of g over +-lr frames around the
@@ -451,31 +542,49 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         g_own = g_store[jnp.where(scanned,
                                   bvec[:, None] * CAPP + prow_own,
                                   0).reshape(K)].reshape(B, P, T)
-        g_dil = g_own
+        # entry bound: max over entry frames t' in +-lr of the atom's
+        # begin of g[t'] + the fmax-charged slack between t'+1 and the
+        # atom's begin (same admissible charge as the suffix DP):
+        # max_t' (g[t'] - cfm[t'+1]) + cfm[begin], computed by dilating
+        # h = g - cfm instead of g itself
+        h_own = g_own - cfm[:, None, 1:]
+        h_dil = h_own
         for d in range(1, lr + 1):
-            g_dil = jnp.maximum(
-                g_dil,
-                jnp.pad(g_own[..., d:], ((0, 0), (0, 0), (0, d)),
+            h_dil = jnp.maximum(
+                h_dil,
+                jnp.pad(h_own[..., d:], ((0, 0), (0, 0), (0, d)),
                         constant_values=LOG_ZERO))
-            g_dil = jnp.maximum(
-                g_dil,
-                jnp.pad(g_own[..., :-d], ((0, 0), (0, 0), (d, 0)),
+            h_dil = jnp.maximum(
+                h_dil,
+                jnp.pad(h_own[..., :-d], ((0, 0), (0, 0), (d, 0)),
                         constant_values=LOG_ZERO))
-        gb = jnp.take_along_axis(
-            g_dil, jnp.clip(cb - 1, 0, T - 1), axis=2)           # [B,P,CA]
+        gb = (jnp.take_along_axis(
+            h_dil, jnp.clip(cb - 1, 0, T - 1), axis=2)
+            + jnp.take_along_axis(
+                jnp.broadcast_to(cfm[:, None, :], (B, P, T + 1)),
+                jnp.clip(cb, 0, T), axis=2))                     # [B,P,CA]
         rest_e = jnp.take_along_axis(
             rest, ce.reshape(B, P * CA), axis=1).reshape(B, P, CA)
-        est = gb + lm_add_c + cinc + rest_e
+        est0 = gb + lm_opt_c + cinc + rest_e
         ok = ok & (gb > NEG_HALF) & (rest_e > NEG_HALF) \
             & (cinc > NEG_HALF)
-        prio_c = jnp.where(ok, est, NEG_INF)
+        prio0 = jnp.where(ok, est0, NEG_INF)
         # keep the best CK children per pop (MAX_NEXT_WORDS analogue)
-        top_p, top_i = jax.lax.top_k(prio_c, CK)                 # [B,P,CK]
+        top_p, top_i = jax.lax.top_k(prio0, CK)                  # [B,P,CK]
         c_w = jnp.take_along_axis(cw, top_i, axis=2).reshape(B, P * CK)
         c_t = jnp.take_along_axis(ce, top_i, axis=2).reshape(B, P * CK)
-        c_lm_add = jnp.take_along_axis(lm_add_c, top_i, axis=2) \
+        # exact weighted 2-gram for the survivors (device hash probe)
+        v_lm = jnp.broadcast_to(wid2lm[pw][..., None],
+                                (B, P, CK)).reshape(B, P * CK)
+        w_lm = wid2lm[c_w]
+        lp = bigram_score(ng, v_lm, w_lm)
+        lp = jnp.where(w_lm < 0, -99.0, lp)
+        c_lm_add = lw2 * lp + pen2 + cprobv[c_w]
+        c_opt = jnp.take_along_axis(lm_opt_c, top_i, axis=2) \
             .reshape(B, P * CK)
-        c_prio = top_p.reshape(B, P * CK)
+        c_prio = jnp.where(
+            top_p.reshape(B, P * CK) > NEG_HALF,
+            top_p.reshape(B, P * CK) - c_opt + c_lm_add, NEG_INF)
         c_prev = jnp.broadcast_to(pw[..., None],
                                   (B, P, CK)).reshape(B, P * CK)
         c_parent = jnp.broadcast_to(prow_own[..., None],
@@ -527,6 +636,24 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         dup = (posv - grp_start) >= nbest
         priof = jnp.where(
             dup, NEG_INF, jnp.take_along_axis(m_prio, perm, axis=1))
+        # anchor cap: at most MAX_ANCHORS entries per (word, prev)
+        # class across boundary anchors (host _push_scored keeps the
+        # best few anchors per hypothesis for the same reason — each
+        # anchor costs a scan+expand pop pair when popped)
+        wf = jnp.take_along_axis(m_w, perm, axis=1)
+        key2 = wf * jnp.int32(1 << 16) + (prevf & 0xFFFF)
+        o5 = jnp.argsort(-priof, axis=1, stable=True)
+        key2s = jnp.take_along_axis(key2, o5, axis=1)
+        o6 = jnp.argsort(key2s, axis=1, stable=True)
+        key2f = jnp.take_along_axis(key2s, o6, axis=1)
+        same2 = jnp.concatenate(
+            [jnp.zeros((B, 1), bool), key2f[:, 1:] == key2f[:, :-1]],
+            axis=1)
+        grp2 = jax.lax.cummax(jnp.where(~same2, posv, 0), axis=1)
+        kill2 = (posv - grp2) >= 8
+        inv = jnp.take_along_axis(o5, o6, axis=1)   # perm-frame index
+        priof = priof.at[jnp.arange(B)[:, None], inv].min(
+            jnp.where(kill2, NEG_INF, jnp.inf).astype(priof.dtype))
         # final trim to stack_size by priority
         o4 = jnp.argsort(-priof, axis=1, stable=True)[:, :S]
         permf = jnp.take_along_axis(perm, o4, axis=1)
@@ -541,16 +668,15 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         ns_len = jnp.take_along_axis(m_len, permf, axis=1)
 
         if _DEBUG:
-            m39 = (cw == 3) & (ce == 39) & (pw[..., None] == 2)
-            jax.debug.print(
-                "   w1->w2@39: ok={o} gb={g:.1f} lm={l:.1f} "
-                "cinc={c:.1f} rest={re:.1f} est={e:.1f}",
-                o=jnp.sum(m39[0] & ok[0]),
-                g=jnp.max(jnp.where(m39[0], gb[0], NEG_INF)),
-                l=jnp.max(jnp.where(m39[0], lm_add_c[0], NEG_INF)),
-                c=jnp.max(jnp.where(m39[0], cinc[0], NEG_INF)),
-                re=jnp.max(jnp.where(m39[0], rest_e[0], NEG_INF)),
-                e=jnp.max(jnp.where(m39[0], est[0], NEG_INF)))
+            for wtrk in _TRACK:
+                mtrk = fresh[0] & (pw[0] == wtrk)
+                jax.debug.print(
+                    "   trk w=" + str(wtrk) +
+                    " n={n} t={t} exact={e:.1f} prio={p:.1f}",
+                    n=jnp.sum(mtrk),
+                    t=jnp.max(jnp.where(mtrk, pt[0], -1)),
+                    e=jnp.max(jnp.where(mtrk, exact[0], NEG_INF)),
+                    p=jnp.max(jnp.where(mtrk, pprio[0], NEG_INF)))
             tail_child = (c_w == tail) & (c_prio > NEG_HALF)
             jax.debug.print(
                 "r={r} top={top:.1f} fresh={f} scanned={s} fin={fin} "
@@ -581,12 +707,12 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
                  ns_lm_sum, ns_row, ns_len), g_store, beg_store,
                 arena_w, arena_t, arena_parent, arena_lm_sum,
                 res_score, res_arena, n_pops, active, round_i + 1,
-                env_cnt)
+                env_cnt, env_seen)
 
     state = jax.lax.while_loop(cond, body, state)
     (_, g_store, beg_store, arena_w, arena_t, arena_parent,
      arena_lm_sum, res_score, res_arena, n_pops, _, round_i,
-     _env) = state
+     _env, _env2) = state
     return (res_score, res_arena, arena_w, arena_t, arena_parent,
             arena_lm_sum, beg_store, n_pops, round_i)
 
@@ -604,12 +730,15 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
     # arena capacity bounds total pops per utterance (the -m budget,
     # capped so the g/beg stores stay within a few hundred MB)
     capp_mem = max(256, int((384 << 20) / max(1, B * T * 8)) // P * P)
-    CAPP = min(max(P * 32, int(cfg.max_hypo_pop) // P * P), capp_mem)
+    CAPP = min(max(P * 32, 2 * int(cfg.max_hypo_pop) // P * P),
+               capp_mem)
     max_rounds = CAPP // P
     # per-frame best outprob: the admissible charge for frames the
     # suffix estimate skips over
     fmax = np.asarray(jnp.max(out_ext, axis=2))
-    prep = prepare(lattices, T, strategy, cfg, S, fmax, cprob)
+    best_in = _best_lm_in(strategy, tabs.loc.shape[0])
+    prep = prepare(lattices, T, strategy, cfg, S, fmax, cprob,
+                   best_in)
     if not (prep.last >= 0).any():
         return [[] for _ in range(B)]
     NA = prep.ab.shape[1]
@@ -623,13 +752,21 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
     if len(wid2lm_v) < tabs.loc.shape[0]:
         wid2lm_v = np.pad(wid2lm_v, (0, tabs.loc.shape[0] - len(wid2lm_v)),
                           constant_values=-1)
+    lm_opt_w = (float(cfg.lm_weight2)
+                * best_in[:tabs.loc.shape[0]].astype(np.float32)
+                + float(cfg.lm_penalty2)
+                + cprobv[:tabs.loc.shape[0]])
     out = _astar_loop(
         tabs.loc, tabs.ent, tabs.ext, tabs.sidx, ng,
         jnp.asarray(wid2lm_v[:tabs.loc.shape[0]]),
         jnp.asarray(cprobv[:tabs.loc.shape[0]]),
+        jnp.asarray(lm_opt_w.astype(np.float32)),
         out_ext,
         jnp.asarray(prep.ab), jnp.asarray(prep.ae), jnp.asarray(prep.aw),
         jnp.asarray(prep.ainc), jnp.asarray(prep.rest),
+        jnp.asarray(np.concatenate(
+            [np.zeros((B, 1), np.float32),
+             np.cumsum(fmax, axis=1, dtype=np.float32)], axis=1)),
         jnp.asarray(prep.last),
         tuple(jnp.asarray(a) for a in prep.stack0),
         P=P, S=S, CA=CA, CK=CK, CAPP=CAPP, max_rounds=max_rounds,

@@ -327,6 +327,41 @@ def trained_dnn_weights(n_out, din, dim, context, hidden, n_layers,
     return weights, biases, out_w, out_b, protos
 
 
+
+def _lm_sampler(lm, voca, rng, follow_p=0.85):
+    """Word-sequence sampler that FOLLOWS the N-gram: with probability
+    `follow_p` the next word is drawn from the previous word's bigram
+    successors, else uniformly.  Uniform-random truth sequences pay the
+    back-off penalty at every transition, so at LVCSR vocabulary sizes
+    the model-optimal decode genuinely differs from the truth (verified
+    by forced-alignment scoring) and exact-match accuracy measures LM
+    mismatch, not decoder quality.  Real speech follows its LM; so do
+    these utterances."""
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    skip = {name2id["<s>"], name2id["</s>"]}
+    usable = [i for i in range(voca.n_words) if i not in skip]
+    succ = {}
+    if lm is not None and len(lm.ngrams) > 1:
+        l2v = {}
+        for w, nm in enumerate(voca.names):
+            li = lm.word_index.get(nm)
+            if li is not None:
+                l2v.setdefault(li, w)
+        for (v, w) in lm.ngrams[1].keys():
+            dv, dw = l2v.get(v), l2v.get(w)
+            if dv is None or dw is None or dw in skip:
+                continue
+            succ.setdefault(dv, []).append(dw)
+
+    def draw(prev):
+        s = succ.get(prev)
+        if s and rng.random() < follow_p:
+            return int(s[int(rng.integers(0, len(s)))])
+        return int(usable[int(rng.integers(0, len(usable)))])
+
+    return draw
+
+
 def make_flagship_utts(hmm, voca, lm, protos, n_utts, dim, context,
                        min_words=4, max_words=9, seed=0):
     """Generative flagship utterances: word sequence -> senone path via
@@ -335,15 +370,14 @@ def make_flagship_utts(hmm, voca, lm, protos, n_utts, dim, context,
     construction.  Returns (truths, windows, lens)."""
     rng = np.random.default_rng(seed + 9)
     name2id = {n: i for i, n in enumerate(voca.names)}
-    usable = [i for i, n in enumerate(voca.names)
-              if n not in ("<s>", "</s>")]
+    draw = _lm_sampler(lm, voca, rng)
     truths, windows, lens = [], [], []
     for _ in range(n_utts):
         k = int(rng.integers(min_words, max_words + 1))
-        seq = ([name2id["<s>"]]
-               + [usable[int(j)] for j in
-                  rng.integers(0, len(usable), size=k)]
-               + [name2id["</s>"]])
+        seq = [name2id["<s>"]]
+        for _i in range(k):
+            seq.append(draw(seq[-1]))
+        seq.append(name2id["</s>"])
         senones = []
         for w in seq:
             for p in voca.phones[w]:
@@ -382,16 +416,14 @@ def make_lvcsr_utts(eng, protos, n_utts, dim, context,
     S = hmm.n_states
     ps = net.pseudo
     name2id = {n: i for i, n in enumerate(voca.names)}
-    usable = [i for i, n in enumerate(voca.names)
-              if n not in ("<s>", "</s>")]
-    # per-word node score rows + a self-loop probability per node
+    draw = _lm_sampler(eng.lm, voca, rng)
     truths, windows, lens = [], [], []
     for _ in range(n_utts):
         k = int(rng.integers(min_words, max_words + 1))
-        seq = ([name2id["<s>"]]
-               + [usable[int(j)] for j in
-                  rng.integers(0, len(usable), size=k)]
-               + [name2id["</s>"]])
+        seq = [name2id["<s>"]]
+        for _i in range(k):
+            seq.append(draw(seq[-1]))
+        seq.append(name2id["</s>"])
         senones = []
         for w in seq:
             n0, n1 = int(net.word_node_ofs[w]), int(net.word_node_ofs[w + 1])
