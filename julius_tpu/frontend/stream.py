@@ -158,17 +158,43 @@ def save_cmn_file(path: str, mean: np.ndarray,
                 f.write(f" {v:e}\n")
 
 
+class LiveEnergyNorm:
+    """Live -enormal: normalize log energy with the PREVIOUS segment's
+    maximum (reference wav2mfcc-pipe.c:711 energy_max_init /
+    energy_max_prepare / energy_max_normalize): the utterance max is
+    unknowable mid-stream, so each segment uses max_last, clamped at
+    max_last - silFloor*ln10/10, rescaled 1 - (max_last - E)*escale."""
+
+    def __init__(self, cfg: FrontendConfig):
+        self.cfg = cfg
+        self.max = 5.0              # energy_max_init
+        # the first prepare() (from StreamingFrontend.reset) makes this
+        # the first segment's max_last
+
+    def prepare(self) -> None:
+        import math
+        self.max_last = self.max
+        self.min_last = self.max_last \
+            - (self.cfg.silfloor_db * math.log(10.0)) / 10.0
+        self.max = 0.0
+
+    def normalize(self, e: np.ndarray) -> np.ndarray:
+        if len(e):
+            self.max = max(self.max, float(np.max(e)))
+        e = np.maximum(e, self.min_last)
+        return (1.0 - (self.max_last - e) * self.cfg.escale) \
+            .astype(np.float32)
+
+
 class StreamingFrontend:
     """Chunked feature extraction with delta lag and MAP-CMN."""
 
     def __init__(self, cfg: FrontendConfig,
                  tables: Optional[fe.FrontendTables] = None,
                  cmn: Optional[MapCMN] = None):
-        if cfg.energy_normalize:
-            raise NotImplementedError(
-                "energy normalisation needs the utterance max and is not "
-                "available in streaming (reference realtime-1stpass.c "
-                "limitation)")
+        self.energy = (LiveEnergyNorm(cfg)
+                       if cfg.energy_normalize and cfg.use_energy
+                       else None)
         self.cfg = cfg
         self.tables = tables or fe.build_tables(cfg)
         self.cmn = cmn
@@ -187,6 +213,10 @@ class StreamingFrontend:
         self._emitted = 0
         if self.cmn is not None:
             self.cmn.reset_utterance()
+        if getattr(self, "energy", None) is not None:
+            # per-segment: last segment's max becomes the normalizer
+            # (reference energy_max_prepare, realtime-1stpass.c:336)
+            self.energy.prepare()
 
     @property
     def lag(self) -> int:
@@ -211,6 +241,10 @@ class StreamingFrontend:
         n = fe.num_frames(len(self._audio), cfg)
         if n > 0:
             base = self._base_frames(self._audio)
+            if self.energy is not None and len(base):
+                ei = cfg.base_dim - 1      # energy is the last static col
+                base = base.copy()
+                base[:, ei] = self.energy.normalize(base[:, ei])
             self._base.extend(base)
             keep_from = n * cfg.frame_shift
             self._audio = self._audio[keep_from:]

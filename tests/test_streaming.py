@@ -123,3 +123,38 @@ def test_stream_session_no_vad_matches_batch(models):
     assert len(outs) == 1
     assert outs[0].words == batch_res.words
     assert abs(outs[0].score - batch_res.score) < 0.5
+
+
+def test_streaming_live_energy_normalization():
+    """-enormal on live input: each segment is normalized by the
+    PREVIOUS segment's max energy, clamped at max_last - silFloor
+    (reference wav2mfcc-pipe.c:711 energy_max_init/prepare/normalize;
+    initial max = 5.0)."""
+    import math
+
+    cfg = FrontendConfig(cmn=False, energy_normalize=True, escale=0.5)
+    assert cfg.use_energy
+    tables = fe.build_tables(cfg)
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal(8000) * 3000).astype(np.float32)
+
+    # batch reference values for the raw (unnormalized) energies
+    raw_cfg = FrontendConfig(cmn=False, energy_normalize=False)
+    raw = np.asarray(fe.extract_basic(
+        jnp.asarray(wave[None]), fe.build_tables(raw_cfg)))[0]
+    e_raw = raw[:, raw_cfg.base_dim - 1]
+
+    sf = StreamingFrontend(cfg, tables)
+    out1 = np.concatenate([sf.process(wave), sf.finalize()])
+    ei = cfg.base_dim - 1
+    min_last = 5.0 - (cfg.silfloor_db * math.log(10.0)) / 10.0
+    exp1 = 1.0 - (5.0 - np.maximum(e_raw, min_last)) * cfg.escale
+    np.testing.assert_allclose(out1[:, ei], exp1[:len(out1)], rtol=1e-4)
+
+    # second segment normalized by the first's observed max
+    sf.reset()
+    out2 = np.concatenate([sf.process(wave), sf.finalize()])
+    m1 = float(e_raw.max())
+    min2 = m1 - (cfg.silfloor_db * math.log(10.0)) / 10.0
+    exp2 = 1.0 - (m1 - np.maximum(e_raw, min2)) * cfg.escale
+    np.testing.assert_allclose(out2[:, ei], exp2[:len(out2)], rtol=1e-4)
