@@ -554,7 +554,13 @@ class Engine:
                         continue
                     sc = self.search_cfg
                     if (sc.lm_weight == sc.lm_weight2
-                            and sc.lm_penalty == sc.lm_penalty2):
+                            and sc.lm_penalty == sc.lm_penalty2
+                            and self.net.pseudo is None):
+                        # score-sanity retry only when pass-1 totals are
+                        # directly comparable: cross-word pseudo sets
+                        # make pass-1 word-edge scores optimistic vs the
+                        # re-scan, so on triphone nets the margin test
+                        # would retry nearly every utterance
                         p1best = float(np.max(np.where(
                             lat.word[lat.T - 1] >= 0,
                             lat.score[lat.T - 1], -np.inf)))
@@ -726,7 +732,8 @@ class Engine:
             sc = self.search_cfg
             weak = not nbest
             if nbest and sc.lm_weight == sc.lm_weight2 \
-                    and sc.lm_penalty == sc.lm_penalty2:
+                    and sc.lm_penalty == sc.lm_penalty2 \
+                    and self.net.pseudo is None:
                 p1best = float(np.max(np.where(
                     lattice.word[lattice.T - 1] >= 0,
                     lattice.score[lattice.T - 1], -np.inf)))
