@@ -174,5 +174,48 @@ def main():
     }))
 
 
+def _supervise():
+    """Run the measurement in a CHILD process and retry once on
+    failure: a faulted TPU run can poison the device for the rest of
+    the process (CLAUDE.md), and round 4 lost its entire committed
+    perf record to a single startup FAILED_PRECONDITION that a fresh
+    process immediately survived.  The parent only parses the child's
+    final JSON line and re-emits it, so the artifact stays parseable
+    even when the first attempt crashes."""
+    import subprocess
+    last_err = ""
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker"]
+            + sys.argv[1:],
+            capture_output=True, text=True, timeout=7200)
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                if isinstance(rec, dict) and "metric" in rec:
+                    if attempt:
+                        rec.setdefault("detail", {})["retried"] = True
+                    print(json.dumps(rec))
+                    return 0
+            except ValueError:
+                continue
+        last_err = (proc.stderr or proc.stdout or "")[-2000:]
+        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode})"
+              f"; {'retrying in a fresh process' if attempt == 0 else 'giving up'}",
+              file=sys.stderr)
+        if last_err:
+            print(last_err, file=sys.stderr)
+    print(json.dumps({
+        "metric": "decode_throughput_e2e", "value": 0.0,
+        "unit": "audio_seconds_per_second (xRT, 1 chip, end-to-end)",
+        "vs_baseline": 0.0,
+        "detail": {"error": last_err[-500:]}}))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        sys.argv.remove("--worker")
+        main()
+    else:
+        sys.exit(_supervise())

@@ -202,6 +202,8 @@ class Engine:
         self._device_chains = None  # lazy search.scan.DeviceChainTables
         self._iwcd2_tables = None   # lazy search.iwcd2.StrictIWCDTables
         self._rescan_warned = False
+        self._p2d_best_in = None    # cached pass2_device._best_lm_in
+        self._p2d_spot_ok = 0       # device-A* spot-checks passed
 
     # -- setup helpers ----------------------------------------------------
 
@@ -494,6 +496,12 @@ class Engine:
             return False
         if self.voca.transparent and any(self.voca.transparent):
             return False
+        from julius_tpu.search.pass2_device import NB_SLOTS
+        if sc.nbest > NB_SLOTS:
+            # the device loop tracks NB_SLOTS completion slots; larger
+            # -n keeps the host path (an out-of-range kth gather used
+            # to abort the whole decode at trace time)
+            return False
         return True
 
     def _rescan_strategy(self):
@@ -535,38 +543,58 @@ class Engine:
             graphs = None
             if self._device_astar_ok():
                 from julius_tpu.search import pass2_device as p2d
+                if self._p2d_best_in is None:
+                    # LM-dependent, batch-independent (ADVICE r4):
+                    # computed once per engine, not per decode batch
+                    self._p2d_best_in = p2d._best_lm_in(
+                        self._rescan_strategy(),
+                        self.device_chains.loc.shape[0])
                 nbest_lists = p2d.run_batch(
                     lattices, self.device_chains, self.ngram_dev,
                     self._wid2lm_p2, self._cprob_arr(), out_ext,
-                    self._rescan_strategy(), self.search_cfg)
+                    self._rescan_strategy(), self.search_cfg,
+                    best_in=self._p2d_best_in)
                 # per-utterance robustness net: the device A* trades
                 # some host-path search exactness for the single-
-                # dispatch execution model; utterances where it came
-                # back empty, or clearly below the pass-1 path's own
-                # total (same score scale when the pass weights match),
-                # re-run through the host re-scan
+                # dispatch execution model.  Utterances that came back
+                # empty, or clearly below the pass-1 path's own total
+                # (same score scale when the pass weights match and no
+                # pseudo sets inflate pass-1 edges), re-run through the
+                # host re-scan.  Where the margin test is NOT sound —
+                # pseudo-set (triphone) nets and differing pass
+                # weights — the device result is instead SPOT-CHECKED:
+                # the worst-margin utterance of the first few batches
+                # is re-run on the host, and a clear host win fails the
+                # whole batch over to the host path (VERDICT r4: the
+                # old net skipped exactly the configs where the device
+                # path was weakest)
+                sc = self.search_cfg
                 retry = [None] * B
+                comparable = (sc.lm_weight == sc.lm_weight2
+                              and sc.lm_penalty == sc.lm_penalty2
+                              and self.net.pseudo is None)
+                spot_b, spot_margin = -1, np.inf
                 for b, lat in enumerate(lattices):
                     if lat is None:
                         continue
                     if not nbest_lists[b]:
                         retry[b] = lat
                         continue
-                    sc = self.search_cfg
-                    if (sc.lm_weight == sc.lm_weight2
-                            and sc.lm_penalty == sc.lm_penalty2
-                            and self.net.pseudo is None):
-                        # score-sanity retry only when pass-1 totals are
-                        # directly comparable: cross-word pseudo sets
-                        # make pass-1 word-edge scores optimistic vs the
-                        # re-scan, so on triphone nets the margin test
-                        # would retry nearly every utterance
-                        p1best = float(np.max(np.where(
-                            lat.word[lat.T - 1] >= 0,
-                            lat.score[lat.T - 1], -np.inf)))
-                        if np.isfinite(p1best) and \
-                                nbest_lists[b][0].score < p1best - 10.0:
+                    p1best = float(np.max(np.where(
+                        lat.word[lat.T - 1] >= 0,
+                        lat.score[lat.T - 1], -np.inf)))
+                    if not np.isfinite(p1best):
+                        continue
+                    margin = nbest_lists[b][0].score - p1best
+                    if comparable:
+                        if margin < -10.0:
                             retry[b] = lat
+                    elif margin < spot_margin:
+                        spot_b, spot_margin = b, margin
+                spot = (not comparable and spot_b >= 0
+                        and self._p2d_spot_ok < 2)
+                if spot and retry[spot_b] is None:
+                    retry[spot_b] = lattices[spot_b]
                 if any(l is not None for l in retry):
                     disp = p2r.ScanDispatcher(
                         self.device_chains, out_ext,
@@ -575,6 +603,23 @@ class Engine:
                     host_lists = p2r.rescan_nbest_batch(
                         retry, disp, self._rescan_strategy(),
                         self.search_cfg)
+                    if spot and host_lists[spot_b]:
+                        dev_s = nbest_lists[spot_b][0].score \
+                            if nbest_lists[spot_b] else -np.inf
+                        if host_lists[spot_b][0].score > dev_s + 2.0:
+                            # device search lost on this config: fail
+                            # the whole batch over to the host path
+                            jlog(LogLevel.WARNING,
+                                 "device pass-2 lost spot-check "
+                                 f"({host_lists[spot_b][0].score:.2f} vs "
+                                 f"{dev_s:.2f}); host re-scan for batch")
+                            self._p2d_spot_ok = 0
+                            host_lists = p2r.rescan_nbest_batch(
+                                lattices, disp, self._rescan_strategy(),
+                                self.search_cfg)
+                            retry = list(lattices)
+                        else:
+                            self._p2d_spot_ok += 1
                     for b in range(B):
                         if retry[b] is not None and host_lists[b]:
                             if (not nbest_lists[b]
@@ -730,21 +775,33 @@ class Engine:
                 self._wid2lm_p2, self._cprob_arr(), out_ext,
                 self._rescan_strategy(), self.search_cfg)[0]
             sc = self.search_cfg
+            comparable = (sc.lm_weight == sc.lm_weight2
+                          and sc.lm_penalty == sc.lm_penalty2
+                          and self.net.pseudo is None)
             weak = not nbest
-            if nbest and sc.lm_weight == sc.lm_weight2 \
-                    and sc.lm_penalty == sc.lm_penalty2 \
-                    and self.net.pseudo is None:
+            if nbest and comparable:
                 p1best = float(np.max(np.where(
                     lattice.word[lattice.T - 1] >= 0,
                     lattice.score[lattice.T - 1], -np.inf)))
                 weak = np.isfinite(p1best) and \
                     nbest[0].score < p1best - 10.0
+            elif nbest and not comparable:
+                # margin vs pass-1 is not sound here (pseudo edges /
+                # differing pass weights): spot-check the first few
+                # decodes against the host path instead (same policy
+                # as the batched net in _results)
+                weak = self._p2d_spot_ok < 2
             if weak:
                 disp = p2r.ScanDispatcher(self.device_chains, out_ext,
                                           sc.scan_beam,
                                           iwcd2=self.iwcd2_tables)
                 host = p2r.rescan_nbest_batch(
                     [lattice], disp, self._rescan_strategy(), sc)[0]
+                if host and nbest and not comparable:
+                    if host[0].score > nbest[0].score + 2.0:
+                        self._p2d_spot_ok = 0
+                    else:
+                        self._p2d_spot_ok += 1
                 if host and (not nbest
                              or host[0].score > nbest[0].score):
                     nbest = host

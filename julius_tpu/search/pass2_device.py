@@ -69,9 +69,13 @@ NEG_INF = float("-inf")
 
 #: hypotheses popped per utterance per round
 POPS = 8
-#: candidate atoms gathered per pop (window of +-lookup_range begin
-#: frames; at most (2*lr+1) * trellis-M atoms can fall in the window)
-CA_MAX = 768
+#: candidate-table prune (prepare): anchor end-frames kept per
+#: (begin, word) pair (the host's A_CAND analogue) ...
+A_ENDS = 16
+#: ... and atoms kept per begin frame overall — the candidate window
+#: then holds at most (2*lookup_range+1) * Q_PER_FRAME atoms, which
+#: sizes the round body's contiguous CA slice for COMPLETE coverage
+Q_PER_FRAME = 96
 #: children kept per pop after ranking (MAX_NEXT_WORDS-analogue)
 CHILD_KEEP = 64
 #: completion slots tracked per utterance (host filters to nbest)
@@ -100,52 +104,34 @@ class _Prepared:
     stack0: Tuple[np.ndarray, ...]   # initial stack field arrays
 
 
-def _suffix_estimate_np(ab, ae, inc, T, lr, fmax):
-    """rest[t] = best pass-1 continuation covering frames t+1..T-1.
+def _suffix_estimate_np(ab, ae, inc, T, lr):
+    """rest[t] = best pass-1 continuation covering frames t+1..T-1:
+    backward DP over trellis atoms scored with their FULL pass-1
+    incremental scores (AM + pass-1 LM), chain step admitting begin
+    frames in [t+1-lr, t+1+lr].
 
-    Like pass2_rescan._suffix_estimate the chain step admits begin
-    frames in [t+1-lr, t+1+lr] (pass-1 boundaries are approximate, so
-    strict adjacency misses exactly the misplaced-boundary paths the
-    re-scan exists to recover), but every frame of boundary slack is
-    charged through `fmax`, the frame's best senone outprob: a gap
-    (late entry) ADDS the skipped frames' fmax — any real path must
-    cover them at <= fmax each, so the bound stays admissible — and an
-    overlap (early entry) SUBTRACTS the doubled frames' fmax.  Without
-    the charge the estimate compounds a free |score| per slack frame
-    per word — thousands of log points off in either direction (DNN
-    outprobs are positive after prior division, GMM scores negative),
-    and the queue either churns on junk or buries the truth, burning
-    the word envelope before the real path pops."""
-    cfm = np.concatenate([[0.0], np.cumsum(fmax)])   # cfm[k] = sum <k
-    chain = np.full(T + 1, -np.inf)
+    Identical to the host path's `pass2_rescan._suffix_estimate` —
+    the mirror of the reference's use of trellis scores as the A*
+    completion estimate (`search.h` NODE score, ngram_decode.c:334).
+    An earlier device-only variant substituted AM-only spans plus a
+    best-case per-word LM bound with fmax-charged boundary slack; on
+    DNN configs (positive outprobs after prior division) that estimate
+    ran ~100+ log points above the true suffix, so the queue churned
+    on junk until the pop budget died and the truth path never
+    surfaced (round-4 LVCSR 0/32).  Tight beats admissible here, just
+    like in the reference."""
     rest = np.full(T + 1, -np.inf)
-    chain[T - 1] = rest[T - 1] = 0.0
-    G = 2 * lr                       # max bridged hole length
+    rest[T - 1] = 0.0            # nothing left after the final frame
     for t in range(T - 2, -1, -1):
         i0 = np.searchsorted(ab, t + 1 - lr)
         i1 = np.searchsorted(ab, t + 1 + lr, side="right")
         best = -np.inf
         if i1 > i0:
-            b = ab[i0:i1]
             e = ae[i0:i1]
-            adj = cfm[np.clip(b, 0, T)] - cfm[t + 1]
-            v = adj + inc[i0:i1] + rest[e]
+            v = inc[i0:i1] + rest[e]
             v = np.where(e > t, v, -np.inf)
             if len(v):
                 best = v.max()
-        chain[t] = best
-        # hole bridging: begin frames cluster at pass-1's recorded
-        # predecessor boundaries, so the window alone leaves coverage
-        # HOLES (rest = -inf) that kill every hypothesis anchored near
-        # them.  Bridge up to G frames at their fmax charge, but only
-        # ONTO a real chain step — an unbounded fmax bridge outscores
-        # every actual word chain (fmax ignores the HMM and LM
-        # constraints a covering path must pay) and floods the queue
-        # with optimism instead
-        for g in range(1, min(G, T - 2 - t) + 1):
-            if np.isfinite(chain[t + g]):
-                best = max(best,
-                           cfm[t + 1 + g] - cfm[t + 1] + chain[t + g])
         rest[t] = best
     return rest[:T]
 
@@ -223,7 +209,6 @@ def _best_lm_in(strategy, n_words: int) -> np.ndarray:
 
 def prepare(lattices: List[Optional[TrellisLattice]], T: int,
             strategy, cfg: SearchConfig, stack_size: int,
-            fmax: Optional[np.ndarray] = None,
             cprob_np: Optional[np.ndarray] = None,
             best_in: Optional[np.ndarray] = None) -> _Prepared:
     """Build the per-batch atom tables, suffix estimates, and initial
@@ -257,23 +242,20 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
         pt, pm = np.divmod(np.maximum(prev, 0), lat.M)
         pscore = np.where(prev >= 0, lat.score[pt, pm], 0.0)
         # AM-only span score of the atom's word (pass-1 LM removed):
-        # the estimate adds the PASS-2 LM instead
+        # a CANDIDATE's estimate adds its exact pass-2 LM instead
         ainc = asc - pscore - alm
-        # the suffix DP estimate re-weights the atoms' pass-1 LM
-        # portion into the PASS-2 scale: exact scores accumulate
-        # lm_weight2-weighted probs, so feeding raw pass-1-weighted
-        # scores over/under-estimates by (lw2-lw1)*|log p| per
-        # remaining word whenever the weights differ — enough to
-        # degenerate the A* into breadth-first churn
-        # optimistic per-word LM charge (see _best_lm_in): the
-        # exact path accumulates lw2 * log10 P(w|ctx) + pen2, so
-        # the estimate charges the best possible context
-        lm_opt = (lw2v * best_in[aw] + pen2v
-                  + (cprob_np[aw] if cprob_np is not None else 0.0))
-        inc_est = ainc + lm_opt
-        fm = (fmax[len(per), :lat.T] if fmax is not None
-              else np.zeros(lat.T))
-        rest = _suffix_estimate_np(ab, ae, inc_est, lat.T, lr, fm)
+        # the suffix estimate chains FULL pass-1 incremental scores
+        # (AM + pass-1 LM) like the host path — see _suffix_estimate_np
+        # for why tight beats admissible — with the pass-1 LM portion
+        # re-weighted into the PASS-2 scale (lw2/lw1, like
+        # _best_path_rest): exact scores accumulate lm_weight2-weighted
+        # probs, so an un-reweighted estimate is off by
+        # (lw2-lw1)*|log p| per remaining word whenever the passes use
+        # different weights (-lmp vs -lmp2)
+        lw1v = float(cfg.lm_weight)
+        ratio = (lw2v / lw1v) if lw1v else 1.0
+        inc_rw = (asc - pscore - alm) + alm * ratio
+        rest = _suffix_estimate_np(ab, ae, inc_rw, lat.T, lr)
         # anchor the estimate on pass-1's own best path: a REAL path
         # covering every frame, so its suffix curve has no holes and no
         # compounding per-word bounds — the atom-chain DP above can
@@ -283,8 +265,55 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
                              float(cfg.lm_weight2))
         if r1 is not None:
             rest = np.maximum(rest, r1)
+        # prune the CANDIDATE table (the suffix DP above used the FULL
+        # atom set).  Within one begin frame the candidate ranking is
+        # parent-independent — est0 = gb(begin) + (lm_opt + AM span +
+        # rest[end]) and gb depends only on the begin — so keeping the
+        # top Q_PER_FRAME atoms per begin frame provably preserves
+        # every window's true top-CHILD_KEEP children, and bounds the
+        # window population to (2lr+1)*Q so the contiguous CA slice in
+        # the round body never overflows.  (Round 4 sliced a fixed 768
+        # atoms out of windows holding 1500+; whole words silently
+        # vanished from the candidate set — the LVCSR truth path among
+        # them.)  Tail-word atoms bypass the cap: completion anchors
+        # must survive (the host appends the Tl-1 anchor for may_final
+        # words the same way, _cand_for).
+        lm_opt_at = (lw2v * best_in[np.minimum(aw, len(best_in) - 1)]
+                     + pen2v
+                     + (cprob_np[np.minimum(aw, len(cprob_np) - 1)]
+                        if cprob_np is not None else 0.0))
+        rest_ae = rest[np.minimum(ae, lat.T - 1)]
+        indep = np.where(np.isfinite(rest_ae),
+                         ainc + lm_opt_at + rest_ae, -np.inf)
+        tailw = int(strategy.tail_word)
+        is_tail = aw == tailw
+        n_at = len(ab)
+        pos = np.arange(n_at)
+        # rank within (begin, word) groups, best-indep first
+        o2 = np.lexsort((-indep, aw, ab))
+        newg = np.r_[True, (ab[o2][1:] != ab[o2][:-1])
+                     | (aw[o2][1:] != aw[o2][:-1])]
+        rank_bw = pos - np.maximum.accumulate(np.where(newg, pos, 0))
+        keep = np.zeros(n_at, bool)
+        keep[o2] = rank_bw < A_ENDS
+        # rank within begin frames among survivors
+        ind2 = np.where(keep, indep, -np.inf)
+        o3 = np.lexsort((-ind2, ab))
+        newb = np.r_[True, ab[o3][1:] != ab[o3][:-1]]
+        rank_b = pos - np.maximum.accumulate(np.where(newb, pos, 0))
+        keep2 = np.zeros(n_at, bool)
+        keep2[o3] = rank_b < Q_PER_FRAME
+        keep &= keep2 | is_tail
+        keep &= np.isfinite(indep) | is_tail
+        ab, ae, aw, ainc = ab[keep], ae[keep], aw[keep], ainc[keep]
         per.append((ab, ae, aw, ainc, rest))
         na = max(na, len(ab))
+    # rolling word-sequence hash (sequence identity for completion
+    # dedup and the word envelope; anchor variants of one sequence
+    # share it, distinct sequences collide with ~2^-32 probability)
+    def seq_mix(h, w):
+        return (np.asarray(h, np.uint32) * np.uint32(1000003)
+                + np.asarray(w, np.uint32) + np.uint32(1))
     ab_a = np.full((B, na), 1 << 30, np.int32)
     ae_a = np.zeros((B, na), np.int32)
     aw_a = np.zeros((B, na), np.int32)
@@ -301,6 +330,7 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
     s_lm_sum = np.zeros((B, S), np.float32)
     s_row = np.full((B, S), -1, np.int32)
     s_len = np.ones((B, S), np.int32)
+    s_seqh = np.zeros((B, S), np.uint32)
     for bidx, (lat, p) in enumerate(zip(lattices, per)):
         if p is None:
             continue
@@ -335,6 +365,7 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
         s_t[bidx, :n0] = e0[sel]
         s_lm_add[bidx, :n0] = lm0[sel]
         s_lm_sum[bidx, :n0] = lm0[sel]
+        s_seqh[bidx, :n0] = seq_mix(0, w0[sel])
     # per-atom packed columns (the device candidate block fetches them
     # as one contiguous slice per pop): begin, end, word, AM span,
     # rest[end], and the optimistic LM add for the word — the latter
@@ -356,7 +387,7 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
         ab=ab_a, ae=ae_a, aw=aw_a, ainc=ainc_a, rest=rest_a, last=last_a,
         packed=packed,
         stack0=(s_prio, s_w, s_t, s_prev, s_parent, s_lm_add, s_lm_sum,
-                s_row, s_len))
+                s_row, s_len, s_seqh))
 
 
 @partial(jax.jit, static_argnames=(
@@ -387,6 +418,7 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
     arena_lm_sum = jnp.zeros((B, CAPP), jnp.float32)
     res_score = jnp.full((B, NB_SLOTS), NEG_INF, jnp.float32)
     res_arena = jnp.full((B, NB_SLOTS), -1, jnp.int32)
+    res_seqh = jnp.zeros((B, NB_SLOTS), jnp.uint32)
     n_pops = jnp.zeros(B, jnp.int32)
     active = last >= 0
     round_i = jnp.int32(0)
@@ -396,20 +428,20 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
     env_seen = jnp.zeros((B, ENV_H), jnp.int32)
 
     state = (stack0, g_store, beg_store, arena_w, arena_t, arena_parent,
-             arena_lm_sum, res_score, res_arena, n_pops, active, round_i,
-             env_cnt, env_seen)
+             arena_lm_sum, res_score, res_arena, res_seqh, n_pops,
+             active, round_i, env_cnt, env_seen)
 
     def cond(state):
-        active = state[10]
-        round_i = state[11]
+        active = state[11]
+        round_i = state[12]
         return jnp.any(active) & (round_i < max_rounds)
 
     def body(state):
         (stack, g_store, beg_store, arena_w, arena_t, arena_parent,
-         arena_lm_sum, res_score, res_arena, n_pops, active,
+         arena_lm_sum, res_score, res_arena, res_seqh, n_pops, active,
          round_i, env_cnt, env_seen) = state
         (s_prio, s_w, s_t, s_prev, s_parent, s_lm_add, s_lm_sum,
-         s_row, s_len) = stack
+         s_row, s_len, s_seqh) = stack
 
         # ---- pop the top P entries of every active utterance
         # (top_k, not a head slice: the fast merge path below keeps the
@@ -423,17 +455,18 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         plm_sum = jnp.take_along_axis(s_lm_sum, pop_idx, axis=1)
         prow_own = jnp.take_along_axis(s_row, pop_idx, axis=1)
         plen = jnp.take_along_axis(s_len, pop_idx, axis=1)
+        pseqh = jnp.take_along_axis(s_seqh, pop_idx, axis=1)
         s_prio = s_prio.at[bvec[:, None], pop_idx].set(NEG_INF)
         valid = (pprio > NEG_HALF) & active[:, None]
         scanned = valid & (prow_own >= 0)
         fresh = valid & (prow_own < 0)
-        # envelope class key (see the wb_ok block below); fresh
-        # pops of a full, never-admitted class are killed before
-        # they spend their scan + re-push pop pair
+        # envelope class = the word SEQUENCE (rolling hash; the host
+        # path admits `wb` distinct sequences per length the same way,
+        # reference wb_ok counts hypotheses); fresh pops of a full,
+        # never-admitted sequence are killed before they spend their
+        # scan + re-push pop pair
         lidx = jnp.clip(plen, 0, LEN_CAP - 1)
-        ekey = (((plen.astype(jnp.uint32) * jnp.uint32(2654435761)
-                  ^ pw.astype(jnp.uint32) * jnp.uint32(40503))
-                 ^ (pprev.astype(jnp.uint32) * jnp.uint32(2246822519)))
+        ekey = ((pseqh * jnp.uint32(2654435761))
                 % jnp.uint32(ENV_H)).astype(jnp.int32)
         eseen = jnp.take_along_axis(env_seen, ekey, axis=1) > 0
         env_ok = eseen | (jnp.take_along_axis(env_cnt, lidx, axis=1)
@@ -508,23 +541,29 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
                     & (exact > NEG_HALF))
         comp_s = jnp.where(is_final, exact, NEG_INF)
         # the n-best termination below counts DISTINCT sentences;
-        # boundary variants of one sequence complete at (near-)equal
-        # scores, so score-identical completions are dropped (the host
-        # path dedups by word sequence after download the same way)
-        close_prev = jnp.any(
-            jnp.abs(comp_s[:, :, None] - res_score[:, None, :]) < 1e-3,
-            axis=2)
-        close_self = jnp.any(
-            (jnp.abs(comp_s[:, :, None] - comp_s[:, None, :]) < 1e-3)
+        # boundary-anchor variants of one sequence share the rolling
+        # sequence hash, so completions whose sequence is already
+        # recorded are dropped (the host path dedups by word sequence
+        # after download the same way — exact identity, not the old
+        # score-proximity proxy that also killed near-tied DISTINCT
+        # sequences)
+        dup_prev = jnp.any(
+            (pseqh[:, :, None] == res_seqh[:, None, :])
+            & (res_score[:, None, :] > NEG_HALF), axis=2)
+        dup_self = jnp.any(
+            (pseqh[:, :, None] == pseqh[:, None, :])
+            & is_final[:, None, :]
             & (jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :]),
             axis=2)
-        comp_s = jnp.where(close_prev | close_self, NEG_INF, comp_s)
+        comp_s = jnp.where(dup_prev | dup_self, NEG_INF, comp_s)
         rs2 = jnp.concatenate([res_score, comp_s], axis=1)
         ra2 = jnp.concatenate(
             [res_arena, jnp.broadcast_to(aidx, (B, P))], axis=1)
+        rh2 = jnp.concatenate([res_seqh, pseqh], axis=1)
         order_r = jnp.argsort(-rs2, axis=1, stable=True)[:, :NB_SLOTS]
         res_score = jnp.take_along_axis(rs2, order_r, axis=1)
         res_arena = jnp.take_along_axis(ra2, order_r, axis=1)
+        res_seqh = jnp.take_along_axis(rh2, order_r, axis=1)
 
         # ---- lazy A* re-push: fresh non-final pops go back on the
         # stack with their EXACT priority and their own g row; they
@@ -603,20 +642,21 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         lm_opt_c = lm_opt_pk
         # estimate: parent's exact g near the atom's begin + LM + the
         # atom's pass-1 AM span + suffix estimate from its end.  The
-        # entry bound takes the max of g over +-lr frames around the
-        # pass-1 begin: pinning it at exactly begin-1 underestimates
-        # whenever the boundary shifts under this parent, and a
-        # pessimistic bound buries viable prefixes below completed
-        # junk (A* needs optimism for its termination test)
-        # entry bound: max over entry frames t' in +-lr of the atom's
-        # begin of g[t'] + the fmax-charged slack between t'+1 and the
-        # atom's begin (same admissible charge as the suffix DP):
-        # max_t' (g[t'] - cfm[t'+1]) + cfm[begin].  cb only takes the
-        # 2lr+1 values in [tau-lr, tau+lr], so instead of dilating the
-        # full [B, P, T] rows and random-gathering per candidate (the
-        # measured hotspot after the scan fix), fetch h = g - cfm at
-        # the 4lr+1 frames the dilation can touch, slide an (lr+1)-max
-        # over them, and resolve each candidate with an 11-way select.
+        # entry bound takes the max over entry frames t' in +-lr of
+        # the atom's begin of g[t'] + the fmax-charged slack between
+        # t'+1 and the begin (admissible: a real path covers the
+        # bridged frames at <= fmax each): max_t' (g[t'] - cfm[t'+1])
+        # + cfm[begin].  Pinning at exactly begin-1 starves truth
+        # whenever pass-1 recorded the begin from a DIFFERENT
+        # predecessor whose boundary this parent cannot meet (the
+        # single-best-entry approximation the re-scan exists to fix);
+        # the inflation the charge admits (~fmax per slack frame on
+        # DNN configs) is kept out of the class recombination by the
+        # exact-entry immunity rule in the merge below.  cb only takes
+        # the 2lr+1 values in [tau-lr, tau+lr], so fetch h = g - cfm
+        # at the 4lr+1 frames the dilation can touch, slide an
+        # (2lr+1)-max over them, and resolve each candidate with a
+        # select instead of a [B,P,CA] random gather.
         W11 = 2 * lr + 1
         g_own_rows = jnp.where(scanned, bvec[:, None] * CAPP + prow_own,
                                0)                                 # [B, P]
@@ -679,6 +719,9 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         c_row = jnp.full((B, P * CK), -1, jnp.int32)
         c_len = (jnp.broadcast_to(plen[..., None], (B, P, CK))
                  .reshape(B, P * CK) + 1)
+        c_seqh = (jnp.broadcast_to(pseqh[..., None], (B, P, CK))
+                  .reshape(B, P * CK) * jnp.uint32(1000003)
+                  + c_w.astype(jnp.uint32) + jnp.uint32(1))
 
         # ---- merge the whole (popped-out) stack + re-pushes +
         # children; recombine duplicates, then trim back to S
@@ -695,90 +738,70 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         m_row = jnp.concatenate(
             [s_row, jnp.broadcast_to(aidx, (B, P)), c_row], axis=1)
         m_len = jnp.concatenate([s_len, plen, c_len], axis=1)
+        m_seqh = jnp.concatenate([s_seqh, pseqh, c_seqh], axis=1)
         key = m_w * (T + 1) + m_t
-        if nbest == 1:
-            # fast path: TPU sorts are the measured round hotspot (an
-            # XLA sort of the ~1k-wide merge costs more than the whole
-            # seeded scan), so recombination runs as hash scatter-max
-            # passes and the trim as approx_max_k — all linear ops.
-            # (a) (word, anchor, prev) class: keep the best entry
-            DH = 1 << 14
-            k1 = ((key.astype(jnp.uint32) * jnp.uint32(2654435761))
-                  ^ (m_prev.astype(jnp.uint32) * jnp.uint32(2246822519))
-                  ) % jnp.uint32(DH)
-            k1 = k1.astype(jnp.int32)
-            cb1 = jnp.full((B, DH), NEG_INF, jnp.float32)                 .at[bvec[:, None], k1].max(m_prio)
-            keep = m_prio >= jnp.take_along_axis(cb1, k1, axis=1) - 1e-4
-            # (b) (word, prev) anchor beam: boundary variants more than
-            # A_BEAM below their class best can never win (the host
-            # caps anchors per hypothesis for the same reason)
-            k2 = ((m_w.astype(jnp.uint32) * jnp.uint32(40503))
-                  ^ (m_prev.astype(jnp.uint32) * jnp.uint32(2654435761))
-                  ) % jnp.uint32(DH)
-            k2 = k2.astype(jnp.int32)
-            cb2 = jnp.full((B, DH), NEG_INF, jnp.float32)                 .at[bvec[:, None], k2].max(m_prio)
-            keep &= m_prio >= jnp.take_along_axis(cb2, k2, axis=1) - 40.0
-            m_prio = jnp.where(keep, m_prio, NEG_INF)
-            ns_prio, sel = jax.lax.approx_max_k(m_prio, S)
-            ns_w = jnp.take_along_axis(m_w, sel, axis=1)
-            ns_t = jnp.take_along_axis(m_t, sel, axis=1)
-            ns_prev = jnp.take_along_axis(m_prev, sel, axis=1)
-            ns_parent = jnp.take_along_axis(m_parent, sel, axis=1)
-            ns_lm_add = jnp.take_along_axis(m_lm_add, sel, axis=1)
-            ns_lm_sum = jnp.take_along_axis(m_lm_sum, sel, axis=1)
-            ns_row = jnp.take_along_axis(m_row, sel, axis=1)
-            ns_len = jnp.take_along_axis(m_len, sel, axis=1)
-        else:
-            # exact-recombination path: (last word, anchor, prev word)
-            # is the full continuation class under a 2-gram; admit up
-            # to `nbest` per class (the host `seen` map the same way),
-            # cap anchors per (word, prev), sort-trim to S
-            o1 = jnp.argsort(-m_prio, axis=1, stable=True)
-            key1 = jnp.take_along_axis(key, o1, axis=1)
-            prev1 = jnp.take_along_axis(m_prev, o1, axis=1)
-            o2 = jnp.argsort(prev1, axis=1, stable=True)
-            key2 = jnp.take_along_axis(key1, o2, axis=1)
-            o12 = jnp.take_along_axis(o1, o2, axis=1)
-            o3 = jnp.argsort(key2, axis=1, stable=True)
-            perm = jnp.take_along_axis(o12, o3, axis=1)
-            keyf = jnp.take_along_axis(key, perm, axis=1)
-            prevf = jnp.take_along_axis(m_prev, perm, axis=1)
-            same = jnp.concatenate(
-                [jnp.zeros((B, 1), bool),
-                 (keyf[:, 1:] == keyf[:, :-1])
-                 & (prevf[:, 1:] == prevf[:, :-1])], axis=1)
-            Nm = keyf.shape[1]
-            posv = jnp.arange(Nm, dtype=jnp.int32)[None, :]
-            grp_start = jax.lax.cummax(
-                jnp.where(~same, posv, 0), axis=1)
-            dup = (posv - grp_start) >= nbest
-            priof = jnp.where(
-                dup, NEG_INF, jnp.take_along_axis(m_prio, perm, axis=1))
-            wf = jnp.take_along_axis(m_w, perm, axis=1)
-            key2 = wf * jnp.int32(1 << 16) + (prevf & 0xFFFF)
-            o5 = jnp.argsort(-priof, axis=1, stable=True)
-            key2s = jnp.take_along_axis(key2, o5, axis=1)
-            o6 = jnp.argsort(key2s, axis=1, stable=True)
-            key2f = jnp.take_along_axis(key2s, o6, axis=1)
-            same2 = jnp.concatenate(
-                [jnp.zeros((B, 1), bool), key2f[:, 1:] == key2f[:, :-1]],
-                axis=1)
-            grp2 = jax.lax.cummax(jnp.where(~same2, posv, 0), axis=1)
-            kill2 = (posv - grp2) >= 8
-            inv = jnp.take_along_axis(o5, o6, axis=1)
-            priof = priof.at[jnp.arange(B)[:, None], inv].min(
-                jnp.where(kill2, NEG_INF, jnp.inf).astype(priof.dtype))
-            o4 = jnp.argsort(-priof, axis=1, stable=True)[:, :S]
-            permf = jnp.take_along_axis(perm, o4, axis=1)
-            ns_prio = jnp.take_along_axis(priof, o4, axis=1)
-            ns_w = jnp.take_along_axis(m_w, permf, axis=1)
-            ns_t = jnp.take_along_axis(m_t, permf, axis=1)
-            ns_prev = jnp.take_along_axis(m_prev, permf, axis=1)
-            ns_parent = jnp.take_along_axis(m_parent, permf, axis=1)
-            ns_lm_add = jnp.take_along_axis(m_lm_add, permf, axis=1)
-            ns_lm_sum = jnp.take_along_axis(m_lm_sum, permf, axis=1)
-            ns_row = jnp.take_along_axis(m_row, permf, axis=1)
-            ns_len = jnp.take_along_axis(m_len, permf, axis=1)
+        # TPU sorts are the measured round hotspot (an XLA sort of the
+        # ~1k-wide merge costs more than the whole seeded scan), so
+        # recombination runs as hash scatter-max passes and the trim as
+        # approx_max_k — all linear ops.  (An earlier nbest>1 variant
+        # sort-admitted `nbest` entries per class plus a COUNT-based
+        # anchor cap; the per-class clones it kept re-expanded the same
+        # children every round and the clone-filled anchor cap killed
+        # the true path's anchor — the round-4 boundary-recovery
+        # regression.  Keep-best recombination + the score-based anchor
+        # beam serve every nbest; distinct N-best sentences are
+        # collected from the NB_SLOTS completion slots.)
+        # (a) (word, anchor, prev) class: keep the best entry — for a
+        # 2-gram LM that class captures the LM context exactly, so this
+        # is the reference's hypothesis recombination done eagerly.
+        # EXACT-ENTRY IMMUNITY: entries whose priority is already exact
+        # (scanned, m_row >= 0) may only be evicted by other exact
+        # entries — a FRESH estimate carries the fmax-charged entry
+        # slack (up to ~2lr*fmax optimism on DNN configs), and letting
+        # it displace the class's exact truth entry loses that entry's
+        # real g for good; the inflated fresh corrects itself at its
+        # own scan pop instead (the host's `seen` map admits by exact
+        # g value for the same reason, pass2_rescan.py:760)
+        DH = 1 << 14
+        is_exact = m_row >= 0
+        prio_ex = jnp.where(is_exact, m_prio, NEG_INF)
+        k1 = ((key.astype(jnp.uint32) * jnp.uint32(2654435761))
+              ^ (m_prev.astype(jnp.uint32) * jnp.uint32(2246822519))
+              ) % jnp.uint32(DH)
+        k1 = k1.astype(jnp.int32)
+        cb1 = jnp.full((B, DH), NEG_INF, jnp.float32) \
+            .at[bvec[:, None], k1].max(m_prio)
+        cb1x = jnp.full((B, DH), NEG_INF, jnp.float32) \
+            .at[bvec[:, None], k1].max(prio_ex)
+        keep = m_prio >= jnp.take_along_axis(cb1, k1, axis=1) - 1e-4
+        keep |= is_exact & (
+            m_prio >= jnp.take_along_axis(cb1x, k1, axis=1) - 1e-4)
+        # (b) (word, prev) anchor beam: boundary variants more than
+        # A_BEAM below their class best can never win (the host
+        # caps anchors per hypothesis for the same reason); exact
+        # entries again measure against exact bests only
+        k2 = ((m_w.astype(jnp.uint32) * jnp.uint32(40503))
+              ^ (m_prev.astype(jnp.uint32) * jnp.uint32(2654435761))
+              ) % jnp.uint32(DH)
+        k2 = k2.astype(jnp.int32)
+        cb2 = jnp.full((B, DH), NEG_INF, jnp.float32) \
+            .at[bvec[:, None], k2].max(m_prio)
+        cb2x = jnp.full((B, DH), NEG_INF, jnp.float32) \
+            .at[bvec[:, None], k2].max(prio_ex)
+        keep &= (m_prio >= jnp.take_along_axis(cb2, k2, axis=1) - 40.0) \
+            | (is_exact
+               & (m_prio >= jnp.take_along_axis(cb2x, k2, axis=1) - 40.0))
+        m_prio = jnp.where(keep, m_prio, NEG_INF)
+        ns_prio, sel = jax.lax.approx_max_k(m_prio, S)
+        ns_w = jnp.take_along_axis(m_w, sel, axis=1)
+        ns_t = jnp.take_along_axis(m_t, sel, axis=1)
+        ns_prev = jnp.take_along_axis(m_prev, sel, axis=1)
+        ns_parent = jnp.take_along_axis(m_parent, sel, axis=1)
+        ns_lm_add = jnp.take_along_axis(m_lm_add, sel, axis=1)
+        ns_lm_sum = jnp.take_along_axis(m_lm_sum, sel, axis=1)
+        ns_row = jnp.take_along_axis(m_row, sel, axis=1)
+        ns_len = jnp.take_along_axis(m_len, sel, axis=1)
+        ns_seqh = jnp.take_along_axis(m_seqh, sel, axis=1)
 
         if _DEBUG:
             for wtrk in _TRACK:
@@ -817,14 +840,14 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         active = active & ~done
 
         return ((ns_prio, ns_w, ns_t, ns_prev, ns_parent, ns_lm_add,
-                 ns_lm_sum, ns_row, ns_len), g_store, beg_store,
+                 ns_lm_sum, ns_row, ns_len, ns_seqh), g_store, beg_store,
                 arena_w, arena_t, arena_parent, arena_lm_sum,
-                res_score, res_arena, n_pops, active, round_i + 1,
-                env_cnt, env_seen)
+                res_score, res_arena, res_seqh, n_pops, active,
+                round_i + 1, env_cnt, env_seen)
 
     state = jax.lax.while_loop(cond, body, state)
     (_, g_store, beg_store, arena_w, arena_t, arena_parent,
-     arena_lm_sum, res_score, res_arena, n_pops, _, round_i,
+     arena_lm_sum, res_score, res_arena, _rh, n_pops, _, round_i,
      _env, _env2) = state
     return (res_score, res_arena, arena_w, arena_t, arena_parent,
             arena_lm_sum, beg_store, n_pops, round_i)
@@ -834,9 +857,14 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
               tabs: DeviceChainTables, ng: DeviceNgram,
               wid2lm: np.ndarray, cprob: Optional[np.ndarray],
               out_ext, strategy, cfg: SearchConfig,
+              best_in: Optional[np.ndarray] = None,
               ) -> List[List[NBestResult]]:
     """Device A* over a whole utterance batch; returns per-utterance
-    N-best lists (empty list = pass-1 fallback, like the host path)."""
+    N-best lists (empty list = pass-1 fallback, like the host path).
+
+    `best_in` is LM-dependent, not batch-dependent — pass the cached
+    array (engine._p2d_best_in) to avoid re-walking the whole N-gram
+    dict per decode batch."""
     B, T, R = out_ext.shape
     S = max(64, int(cfg.stack_size))
     P = POPS
@@ -846,16 +874,17 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
     CAPP = min(max(P * 32, 2 * int(cfg.max_hypo_pop) // P * P),
                capp_mem)
     max_rounds = CAPP // P
-    # per-frame best outprob: the admissible charge for frames the
-    # suffix estimate skips over
+    # per-frame best outprob: the admissible charge for entry-frame
+    # slack in the candidate entry bound (cfm)
     fmax = np.asarray(jnp.max(out_ext, axis=2))
-    best_in = _best_lm_in(strategy, tabs.loc.shape[0])
-    prep = prepare(lattices, T, strategy, cfg, S, fmax, cprob,
-                   best_in)
+    if best_in is None:
+        best_in = _best_lm_in(strategy, tabs.loc.shape[0])
+    prep = prepare(lattices, T, strategy, cfg, S, cprob, best_in)
     if not (prep.last >= 0).any():
         return [[] for _ in range(B)]
     NA = prep.ab.shape[1]
-    CA = min(CA_MAX, NA)
+    lr = max(0, int(cfg.lookup_range))
+    CA = min((2 * lr + 1) * Q_PER_FRAME, NA)
     CK = min(CHILD_KEEP, CA)
     cprobv = (np.zeros(tabs.loc.shape[0], np.float32) if cprob is None
               else np.append(cprob.astype(np.float32), 0.0))
@@ -885,8 +914,9 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
         jnp.asarray(prep.last),
         tuple(jnp.asarray(a) for a in prep.stack0),
         P=P, S=S, CA=CA, CK=CK, CAPP=CAPP, max_rounds=max_rounds,
-        T=T, lr=max(0, int(cfg.lookup_range)),
-        tail=int(strategy.tail_word), nbest=int(cfg.nbest),
+        T=T, lr=lr,
+        tail=int(strategy.tail_word),
+        nbest=int(min(cfg.nbest, NB_SLOTS)),
         lw2=float(cfg.lm_weight2), pen2=float(cfg.lm_penalty2),
         wb=(int(cfg.word_envelope) if cfg.enveloped else 1 << 30))
     (res_score, res_arena, arena_w, arena_t, arena_parent,
