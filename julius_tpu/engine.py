@@ -492,7 +492,7 @@ class Engine:
             return False
         if getattr(self.lm, "order", 99) > 2:
             return False
-        if sc.strict_iwcd2 or self._want_p2_graph():
+        if self._want_p2_graph():
             return False
         if self.voca.transparent and any(self.voca.transparent):
             return False
@@ -553,7 +553,8 @@ class Engine:
                     lattices, self.device_chains, self.ngram_dev,
                     self._wid2lm_p2, self._cprob_arr(), out_ext,
                     self._rescan_strategy(), self.search_cfg,
-                    best_in=self._p2d_best_in)
+                    best_in=self._p2d_best_in,
+                    iwcd2=self.iwcd2_tables)
                 # per-utterance robustness net: the device A* trades
                 # some host-path search exactness for the single-
                 # dispatch execution model.  Utterances that came back
@@ -773,7 +774,8 @@ class Engine:
             nbest = p2d.run_batch(
                 [lattice], self.device_chains, self.ngram_dev,
                 self._wid2lm_p2, self._cprob_arr(), out_ext,
-                self._rescan_strategy(), self.search_cfg)[0]
+                self._rescan_strategy(), self.search_cfg,
+                iwcd2=self.iwcd2_tables)[0]
             sc = self.search_cfg
             comparable = (sc.lm_weight == sc.lm_weight2
                           and sc.lm_penalty == sc.lm_penalty2

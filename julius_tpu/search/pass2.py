@@ -141,8 +141,7 @@ def pass2_search(
                 break
         return tuple(reversed(out))
 
-    best_total = float(np.max(np.where(lattice.word >= 0, lattice.score,
-                                       -np.inf)))
+    best_total = _final_best(lattice)
     if not np.isfinite(best_total):
         return []
 
@@ -318,6 +317,51 @@ def pass2_search_backward(
     return results
 
 
+def _final_best(lattice: TrellisLattice) -> float:
+    """Best pass-1 cumulative score over FINAL-FRAME atoms (complete
+    paths — a max over ALL atoms picks an early-frame atom whenever
+    frame scores are negative, e.g. GMM log-likelihoods)."""
+    row = lattice.score[lattice.T - 1]
+    valid = lattice.word[lattice.T - 1] >= 0
+    if not valid.any():
+        return float("-inf")
+    return float(np.max(np.where(valid, row, -np.inf)))
+
+
+def _suffix_table(lattice: TrellisLattice, ratio: float = 1.0) -> np.ndarray:
+    """rest[t] = best trellis continuation covering frames t+1..T-1
+    (strict-adjacency backward DP over atoms; the atoms' pass-1 LM
+    portion re-weighted by `ratio` = lw2/lw1 into the pass-2 scale).
+
+    The earlier estimate, rest = best_total - score[atom], carries ZERO
+    information: score[atom] is the best PREFIX ending at the atom, so
+    the formula assumes every atom completes as well as the global best
+    path and every stack entry's priority collapses to exactly
+    best_total — the A* degenerates to breadth-first over the M-ary
+    trellis tree and exhausts -m without reaching the final frame
+    (found via refparity: the reference decoded a GMM-triphone config
+    this search returned nothing on).  This DP is the frozen-boundary
+    analogue of pass2_rescan._suffix_estimate — the reference's use of
+    backtrellis scores as the completion estimate (search.h NODE
+    score)."""
+    T = lattice.T
+    rest = np.full(T, -np.inf)
+    rest[T - 1] = 0.0
+    for t in range(T - 2, -1, -1):
+        best = -np.inf
+        for (at, am_) in lattice.by_begin.get(t + 1, ()):
+            r = rest[at]
+            if r == -np.inf or at <= t:
+                continue
+            inc = (lattice.am_of(at, am_)
+                   + ratio * float(lattice.lm[at, am_]))
+            v = inc + r
+            if v > best:
+                best = v
+        rest[t] = best
+    return rest
+
+
 def _prefix_estimate(lattice: TrellisLattice, begin: int) -> float:
     """Pass-1 estimate of the best path covering frames 0..begin-1
     (the reference uses pass-1 backscores the same way): best atom score
@@ -346,8 +390,7 @@ def pass2_search_dfa(
     if T == 0:
         return []
     pen2 = cfg.lm_penalty2
-    best_total = float(np.max(np.where(lattice.word >= 0, lattice.score,
-                                       -np.inf)))
+    best_total = _final_best(lattice)
     if not np.isfinite(best_total):
         return []
 

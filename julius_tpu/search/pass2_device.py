@@ -392,14 +392,15 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
 
 @partial(jax.jit, static_argnames=(
     "P", "S", "CA", "CK", "CAPP", "max_rounds", "T", "lr", "tail",
-    "nbest", "lw2", "pen2", "wb"))
+    "nbest", "lw2", "pen2", "wb", "strict_heads"))
 def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
                 wid2lm, cprobv, lm_opt_w, out_ext,
                 ab, ae, aw, ainc, atoms_packed, rest, cfm, last,
-                stack0,
+                stack0, hs_all, hn_all, lc_of_word,
                 *, P: int, S: int, CA: int, CK: int, CAPP: int,
                 max_rounds: int, T: int, lr: int, tail: int,
-                nbest: int, lw2: float, pen2: float, wb: int):
+                nbest: int, lw2: float, pen2: float, wb: int,
+                strict_heads: bool):
     """One dispatch = the whole batched A*.  Returns (results, arena,
     stores); see `run_batch` for the host-side decoding of the outputs.
     """
@@ -508,6 +509,27 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
             # serial loop over T frames)
             NN = loc_all.shape[2]
             sidx_k = sidx_all[wids]                              # [K, N]
+            if strict_heads:
+                # strict inter-word CD (PASS2_STRICT_IWCD,
+                # search_bestfirst_v2.c:911): substitute the word-head
+                # states' outprob rows with the EXACT left-context
+                # triphone of the popped entry's previous word —
+                # iwcd2.StrictIWCDTables, the same table the host v2
+                # path gathers.  Class 0 (no previous word / no exact
+                # model) keeps the v1 pseudo rows, matching the
+                # reference fallback chain (outprob_style.c lcdset)
+                lc = jnp.where(pprev >= 0,
+                               lc_of_word[jnp.maximum(pprev, 0)],
+                               0).reshape(K)
+                hs = hs_all[wids, lc]                            # [K, H]
+                hn = hn_all[wids]                                # [K]
+                Hh = hs.shape[1]
+                colv = jnp.arange(NN, dtype=jnp.int32)
+                hs_pad = jnp.zeros((K, NN), jnp.int32) \
+                    .at[:, :Hh].set(hs)
+                sidx_k = jnp.where(
+                    colv[None, :] < jnp.minimum(hn, Hh)[:, None],
+                    hs_pad, sidx_k)
             sidx_b = sidx_k.reshape(B, P * NN)
             oh = (sidx_b[:, None, :]
                   == jnp.arange(R, dtype=jnp.int32)[None, :, None]
@@ -858,6 +880,7 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
               wid2lm: np.ndarray, cprob: Optional[np.ndarray],
               out_ext, strategy, cfg: SearchConfig,
               best_in: Optional[np.ndarray] = None,
+              iwcd2=None,
               ) -> List[List[NBestResult]]:
     """Device A* over a whole utterance batch; returns per-utterance
     N-best lists (empty list = pass-1 fallback, like the host path).
@@ -866,7 +889,13 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
     array (engine._p2d_best_in) to avoid re-walking the whole N-gram
     dict per decode batch."""
     B, T, R = out_ext.shape
-    S = max(64, int(cfg.stack_size))
+    # the device stack holds (hypothesis, boundary-anchor) VARIANTS —
+    # up to ~MAX_ANCHORS per sentence hypothesis (the host pushes 8 per
+    # expansion) — so -s is scaled x4 to hold comparable hypothesis
+    # diversity; at 20k words the raw -s 500 trimmed away truth entries
+    # every round (measured: one utterance -466 vs the host's -98, and
+    # S=2000 restored exact agreement)
+    S = max(64, 4 * int(cfg.stack_size))
     P = POPS
     # arena capacity bounds total pops per utterance (the -m budget,
     # capped so the g/beg stores stay within a few hundred MB)
@@ -898,10 +927,19 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
                 * best_in[:tabs.loc.shape[0]].astype(np.float32)
                 + float(cfg.lm_penalty2)
                 + cprobv[:tabs.loc.shape[0]])
+    Vp1 = tabs.loc.shape[0]
+    strict = iwcd2 is not None and getattr(iwcd2, "n_resolved", 0) > 0
+    if strict:
+        hs_all, hn_all = iwcd2.head_sidx, iwcd2.head_ns
+        lc_all = jnp.asarray(iwcd2.lc_of_word)
+    else:
+        hs_all = jnp.zeros((1, 1, 1), jnp.int32)
+        hn_all = jnp.zeros(1, jnp.int32)
+        lc_all = jnp.zeros(1, jnp.int32)
     out = _astar_loop(
         tabs.loc, tabs.ent, tabs.ext, tabs.sidx, ng,
-        jnp.asarray(wid2lm_v[:tabs.loc.shape[0]]),
-        jnp.asarray(cprobv[:tabs.loc.shape[0]]),
+        jnp.asarray(wid2lm_v[:Vp1]),
+        jnp.asarray(cprobv[:Vp1]),
         jnp.asarray(lm_opt_w.astype(np.float32)),
         out_ext,
         jnp.asarray(prep.ab), jnp.asarray(prep.ae), jnp.asarray(prep.aw),
@@ -913,12 +951,14 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
              np.cumsum(fmax, axis=1, dtype=np.float32)], axis=1)),
         jnp.asarray(prep.last),
         tuple(jnp.asarray(a) for a in prep.stack0),
+        hs_all, hn_all, lc_all,
         P=P, S=S, CA=CA, CK=CK, CAPP=CAPP, max_rounds=max_rounds,
         T=T, lr=lr,
         tail=int(strategy.tail_word),
         nbest=int(min(cfg.nbest, NB_SLOTS)),
         lw2=float(cfg.lm_weight2), pen2=float(cfg.lm_penalty2),
-        wb=(int(cfg.word_envelope) if cfg.enveloped else 1 << 30))
+        wb=(int(cfg.word_envelope) if cfg.enveloped else 1 << 30),
+        strict_heads=strict)
     (res_score, res_arena, arena_w, arena_t, arena_parent,
      arena_lm_sum, beg_store, n_pops, round_i) = out
     res_score = np.asarray(res_score)

@@ -533,11 +533,208 @@ def scenario_flagship(ref_bin, workdir, n_utts,
     }
 
 
+# ---------------------------------------------------------------------------
+# Scenario: tied-triphone LVCSR — HMMList + pseudo CD sets both sides
+# ---------------------------------------------------------------------------
+
+
+def export_triphone(workdir, n_base, variants, n_words, dim, tied_pool,
+                    seed=0):
+    """Write a tied-state triphone GMM config in the reference's own
+    formats — ascii hmmdefs with every physical model
+    (rdhmmdef.c:262), an HMMList mapping each word-internal logical
+    triphone to its physical (rdhmmlist.c:70; identity lines for the
+    directly-defined names), HTK dict over BASE phones (the reference
+    composes the triphones itself under -ccd the same way
+    network.word_phone_names does), and ARPA — and return the
+    julius_tpu-side objects built from the same numbers."""
+    from julius_tpu.tools.synth import (bind_triphones, make_ngram,
+                                        make_triphone_hmmset,
+                                        make_vocabulary)
+
+    os.makedirs(workdir, exist_ok=True)
+    hmm = make_triphone_hmmset(n_base=n_base, variants=variants, dim=dim,
+                               tied_pool=tied_pool, seed=seed)
+    voca = make_vocabulary(hmm, n_words=n_words, seed=seed + 1)
+    bind_triphones(hmm, voca, n_base=n_base, variants=variants)
+    lm = make_ngram(voca, seed=seed + 2)
+
+    with open(os.path.join(workdir, "hmmdefs"), "w") as f:
+        f.write(f"~o <VecSize> {dim} <USER> <DIAGC> <NULLD>\n")
+        for pi, name in enumerate(hmm.phone_names):
+            ns = int(hmm.phone_ns[pi])
+            f.write(f'~h "{name}"\n<BeginHMM>\n<NumStates> {ns + 2}\n')
+            for s in range(ns):
+                sen = int(hmm.phone_states[pi, s])
+                g = int(hmm.state_mix[sen, 0])
+                mean = hmm.means[g]
+                var = 1.0 / hmm.ivars[g]
+                f.write(f"<State> {s + 2}\n<Mean> {dim}\n ")
+                f.write(" ".join(f"{x:.5f}" for x in mean) + "\n")
+                f.write(f"<Variance> {dim}\n ")
+                f.write(" ".join(f"{x:.5f}" for x in var) + "\n")
+            N = ns + 2
+            f.write(f"<TransP> {N}\n")
+            tp = np.exp(hmm.phone_trans[pi][:N, :N])
+            tp[tp < 1e-8] = 0.0
+            for r in range(N):
+                f.write(" " + " ".join(f"{x:.6f}" for x in tp[r]) + "\n")
+            f.write("<EndHMM>\n")
+
+    with open(os.path.join(workdir, "hmmlist"), "w") as f:
+        for name in hmm.phone_names:
+            f.write(f"{name}\n")
+        for lname, pidx in sorted(hmm.logical_map.items()):
+            f.write(f"{lname} {hmm.phone_names[pidx]}\n")
+
+    with open(os.path.join(workdir, "words.dict"), "w") as f:
+        for i, name in enumerate(voca.names):
+            phones = " ".join(voca.phones[i])
+            out_sym = voca.outputs[i]
+            f.write(f"{name}\t[{out_sym}]\t{phones}\n")
+
+    with open(os.path.join(workdir, "lm.arpa"), "w") as f:
+        uni, bi = lm.ngrams[0], lm.ngrams[1]
+        f.write(f"\n\\data\\\nngram 1={len(uni)}\nngram 2={len(bi)}\n")
+        f.write("\n\\1-grams:\n")
+        for (w,), (p, bo) in uni.items():
+            f.write(f"{p:.4f}\t{lm.words[w]}\t{bo:.4f}\n")
+        f.write("\n\\2-grams:\n")
+        for (v, w) in sorted(bi.keys()):
+            f.write(f"{bi[(v, w)][0]:.4f}\t{lm.words[v]} {lm.words[w]}\n")
+        f.write("\n\\end\\\n")
+    return hmm, voca, lm
+
+
+def _triphone_utt_frames(hmm, voca, wid_seq, rng):
+    """Frames sampled from the logical-triphone senone path of a word
+    sequence (word-internal logicals via the HMMList map; word-edge
+    partial names from the base monophone, whose states are members of
+    the pseudo CD sets both decoders score them with)."""
+    from julius_tpu.models.hmm import center_name
+    from julius_tpu.search.network import word_phone_names
+
+    senones = []
+    for w in wid_seq:
+        for name in word_phone_names(voca.phones[w], True):
+            pid = hmm.logical_map.get(name)
+            if pid is None:
+                pid = hmm.phone_index.get(name)
+            if pid is None:
+                pid = hmm.phone_index[center_name(name)]
+            ns = int(hmm.phone_ns[pid])
+            trans = hmm.phone_trans[pid]
+            s = 0
+            while s < ns:
+                senones.append(int(hmm.phone_states[pid, s]))
+                if rng.random() > math.exp(trans[s + 1, s + 1]):
+                    s += 1
+    g = hmm.state_mix[np.asarray(senones), 0]
+    var = 1.0 / hmm.ivars[g]
+    return (hmm.means[g]
+            + np.sqrt(var) * rng.standard_normal(var.shape)
+            ).astype(np.float32)
+
+
+def scenario_triphone(ref_bin, workdir, n_utts, n_base=20, variants=12,
+                      n_words=1000, dim=16, tied_pool=600, seed=0,
+                      lm_weight=8.0, lm_penalty=-2.0):
+    """Tied-triphone LVCSR parity (VERDICT r4 #3: the golden tests
+    covered only a 4-phone toy): HMMList logical->physical tying and
+    cross-word pseudo CD sets active in BOTH decoders, identical
+    feature files, transcript agreement + WER vs the generative truth.
+    Reference: rdhmmlist.c, cdset.c, README.md:24 (20k dictation)."""
+    from julius_tpu.config import SearchConfig
+    from julius_tpu.engine import Engine
+
+    hmm, voca, lm = export_triphone(workdir, n_base, variants, n_words,
+                                    dim, tied_pool, seed)
+    name2id = {n: i for i, n in enumerate(voca.names)}
+    rng = np.random.default_rng(seed + 3)
+    from julius_tpu.tools.synth import _lm_sampler
+    draw = _lm_sampler(lm, voca, rng)
+    truths, mfc_files, all_frames = [], [], []
+    for u in range(n_utts):
+        k = int(rng.integers(3, 6))
+        seq = [name2id["<s>"]]
+        for _ in range(k):
+            seq.append(draw(seq[-1]))
+        seq.append(name2id["</s>"])
+        frames = _triphone_utt_frames(hmm, voca, seq, rng)
+        mfc = os.path.join(workdir, f"utt{u:03d}.mfc")
+        write_htk_param(mfc, HTKParam(data=frames, samp_period=100000,
+                                      kind="USER"))
+        truths.append([voca.outputs[w] for w in seq if voca.outputs[w]])
+        mfc_files.append(mfc)
+        all_frames.append(frames)
+    listfile = os.path.join(workdir, "list.txt")
+    with open(listfile, "w") as f:
+        f.write("\n".join(mfc_files) + "\n")
+
+    lmp = [str(lm_weight), str(lm_penalty)]
+    ref_args = ["-h", "hmmdefs", "-hlist", "hmmlist", "-v", "words.dict",
+                "-nlr", "lm.arpa", "-input", "mfcfile",
+                "-filelist", "list.txt", "-lmp", *lmp, "-lmp2", *lmp,
+                "-b", "0", "-n", "1", "-output", "1"]
+    ref_out, ref_wall, rc = run_reference(ref_bin, ref_args, workdir)
+    ref_results = parse_ref_output(ref_out)
+    if rc != 0:
+        tail = "\n".join(ref_out.splitlines()[-40:])
+        raise RuntimeError(f"reference triphone run failed rc={rc}\n{tail}")
+
+    import jax.numpy as jnp
+    eng = Engine(hmm, voca, lm,
+                 search=SearchConfig(lm_weight=lm_weight,
+                                     lm_penalty=lm_penalty,
+                                     lm_weight2=lm_weight,
+                                     lm_penalty2=lm_penalty))
+    T = max(f.shape[0] for f in all_frames)
+    batch = np.zeros((n_utts, T, dim), np.float32)
+    lens = np.zeros(n_utts, np.int32)
+    for i, f in enumerate(all_frames):
+        batch[i, :f.shape[0]] = f
+        lens[i] = f.shape[0]
+    t0 = time.perf_counter()
+    ours = eng.decode_features(jnp.asarray(batch), jnp.asarray(lens))
+    our_wall = time.perf_counter() - t0
+
+    agree = ref_err = our_err = ref_len = 0
+    mism = []
+    for i in range(n_utts):
+        r = ref_results[i] or [] if i < len(ref_results) else []
+        o = [t for t in ours[i].texts if t] if ours[i].valid else []
+        truth = truths[i]
+        if r == o:
+            agree += 1
+        elif len(mism) < 10:
+            mism.append({"utt": i, "truth": " ".join(truth),
+                         "ref": " ".join(r), "ours": " ".join(o)})
+        e, n = wer(truth, r)
+        ref_err += e
+        ref_len += n
+        e, _ = wer(truth, o)
+        our_err += e
+    audio_total = sum(int(l) for l in lens) / 100.0
+    return {
+        "scenario": "triphone_lvcsr_parity",
+        "n_utts": n_utts,
+        "n_words": n_words,
+        "n_logical_triphones": len(hmm.logical_map),
+        "audio_seconds": round(audio_total, 1),
+        "transcript_agreement": round(agree / n_utts, 4),
+        "ref_wer": round(ref_err / max(1, ref_len), 4),
+        "our_wer": round(our_err / max(1, ref_len), 4),
+        "ref_wall_s": round(ref_wall, 2),
+        "our_wall_s": round(our_wall, 2),
+        "mismatches": mism,
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ref", required=True, help="reference julius binary")
     ap.add_argument("--workdir", default="/tmp/julius_parity")
-    ap.add_argument("--scale", choices=["small", "flagship"],
+    ap.add_argument("--scale", choices=["small", "flagship", "triphone"],
                     default="small")
     ap.add_argument("--n-utts", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
@@ -550,6 +747,9 @@ def main(argv=None):
     if args.scale == "small":
         r = scenario_small(args.ref, args.workdir, args.n_utts,
                            seed=args.seed)
+    elif args.scale == "triphone":
+        r = scenario_triphone(args.ref, args.workdir, args.n_utts,
+                              seed=args.seed)
     else:
         r = scenario_flagship(args.ref, args.workdir, args.n_utts,
                               seed=args.seed)

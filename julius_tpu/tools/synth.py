@@ -144,7 +144,17 @@ def make_triphone_hmmset(n_base: int = 40, variants: int = 50,
     n_pos = n_base * n_states
     C = max(1, tied_pool // n_pos)
     S = n_pos * C
-    means = rng.standard_normal((S, dim)).astype(np.float32)
+    # senones CLUSTER like real decision-tree-tied AMs: members of one
+    # (base phone, state position) share a prototype with small
+    # offsets, distinct positions are well separated.  Fully random
+    # members (round 4) made every cross-word pseudo CD set a max over
+    # ~C unrelated Gaussians — per-frame mix-and-match inflation no
+    # physical path can achieve, which pass 2 then used to prefer junk
+    # many-seam segmentations over the generative truth (measured: 6
+    # of 16 20k-word utterances decoded ABOVE the truth's own score)
+    protos_cl = rng.standard_normal((n_pos, dim)).astype(np.float32)
+    means = (np.repeat(protos_cl, C, axis=0)
+             + 0.35 * rng.standard_normal((S, dim))).astype(np.float32)
     ivars = (1.0 / (0.5 + rng.random((S, dim)))).astype(np.float32)
     gconst = (dim * math.log(2 * math.pi)
               - np.sum(np.log(ivars), axis=1)).astype(np.float32)
@@ -193,35 +203,59 @@ def make_triphone_hmmset(n_base: int = 40, variants: int = 50,
 
 def bind_triphones(hmm: HMMSet, voca: Vocabulary, n_base: int = 40,
                    variants: int = 50) -> int:
-    """Fill hmm.logical_map with every in-word triphone the vocabulary
-    composes (the HMMList role, reference rdhmmlist.c): each logical
+    """Fill hmm.logical_map with every triphone the vocabulary can
+    compose (the HMMList role, reference rdhmmlist.c): each logical
     'l-c+r' ties to a physical variant of center c by name hash.
-    Cross-word heads/tails ('c+r' / 'l-c') resolve via pseudo sets at
-    network build.  Returns the number of logical entries added."""
+
+    Both IN-WORD triphones and CROSS-WORD compositions (every word-head
+    'c+r' and word-tail 'l-c' crossed with every possible adjacent base
+    phone) are listed, like the full-triphone HMMLists real tied-state
+    AMs ship — so strict inter-word CD (pass-1 head_rc_dynamic,
+    pass-2 strict_iwcd2) resolves exact models at word boundaries
+    instead of falling back to pseudo sets.  Returns the number of
+    logical entries added."""
     import zlib
 
+    from julius_tpu.models.hmm import center_name
     from julius_tpu.search.network import word_phone_names
 
     base_index = {n: i for i, n in enumerate(hmm.phone_names[:n_base])}
+    bases = hmm.phone_names[:n_base]
+
+    def tie(name: str) -> None:
+        nonlocal added
+        if name in hmm.logical_map or name in hmm.phone_index:
+            return
+        bi = base_index.get(center_name(name))
+        if bi is None:
+            return
+        v = zlib.crc32(name.encode()) % variants
+        hmm.logical_map[name] = hmm.phone_index[f"{bases[bi]}#t{v:02d}"]
+        added += 1
+
     added = 0
+    heads, tails, singles = set(), set(), set()
     for phones in voca.phones:
-        for name in word_phone_names(phones, True):
-            if "-" not in name or "+" not in name:
-                # word-head 'c+r' / word-tail 'l-c' names resolve via
-                # pseudo CD sets at network build (reference cdset.c) —
-                # only full in-word triphones go into the HMMList
-                continue
-            if name in hmm.logical_map or name in hmm.phone_index:
-                continue
-            from julius_tpu.models.hmm import center_name
-            c = center_name(name)
-            bi = base_index.get(c)
-            if bi is None:
-                continue
-            v = zlib.crc32(name.encode()) % variants
-            phys = f"{hmm.phone_names[bi]}#t{v:02d}"
-            hmm.logical_map[name] = hmm.phone_index[phys]
-            added += 1
+        names = word_phone_names(phones, True)
+        for name in names:
+            if "-" in name and "+" in name:
+                tie(name)
+            elif "+" in name:               # word head 'c+r'
+                heads.add(name)
+            elif "-" in name:               # word tail 'l-c'
+                tails.add(name)
+            else:                           # single-phone word
+                singles.add(name)
+    for h in heads:
+        for lc in bases:
+            tie(f"{lc}-{h}")
+    for t in tails:
+        for rc in bases:
+            tie(f"{t}+{rc}")
+    for s in singles:
+        for lc in bases:
+            for rc in bases:
+                tie(f"{lc}-{s}+{rc}")
     return added
 
 
@@ -248,84 +282,140 @@ def lvcsr_engine(n_words: int = 20000, n_base: int = 40,
     bind_triphones(hmm, voca, n_base=n_base, variants=variants)
     lm = make_ngram(voca, seed=seed + 2)
     if search is None:
-        search = SearchConfig(lm_weight=8.0, lm_penalty=-2.0)
+        # strict pass-2 inter-word CD (the reference's
+        # --enable-setup=standard): with ~50 random same-center
+        # variants, the v1 pseudo-set max lets junk segmentations
+        # mix-and-match member senones frame-by-frame at every word
+        # seam — 3-phone words are 2/3 word-edge — and pass 2 happily
+        # confirms them; strict heads re-score each seam with the one
+        # exact triphone its left context implies
+        search = SearchConfig(lm_weight=8.0, lm_penalty=-2.0,
+                              strict_iwcd2=True)
     n_out = hmm.n_states
+    # cluster size of the tied senone pool (make_triphone_hmmset)
+    tied_c = max(1, 2048 // (n_base * 3))
     weights, biases, out_w, out_b, protos = trained_dnn_weights(
-        n_out, feat_dim * 11, feat_dim, 11, hidden, n_layers, seed + 3)
+        n_out, feat_dim * 11, feat_dim, 11, hidden, n_layers, seed + 3,
+        cluster=tied_c)
     dnn = DNNParams(
         weights=weights, biases=biases, output_w=out_w, output_b=out_b,
         log_prior=np.full(n_out, math.log10(1.0 / n_out), np.float32),
         context_len=11, feature_len=feat_dim)
     from julius_tpu.config import AMConfig
-    # iwcd1 'max' (reference outprob_cd max mode): synthetic same-center
-    # variants are random prototypes, so the 'best'-N AVERAGE dilutes
-    # pseudo head/tail scores far more than on real AMs where tied
-    # triphones are acoustically close — max keeps the config decodable
-    # while still exercising the pseudo-set machinery
+    # iwcd1 'max' (reference outprob_cd max mode) for the remaining
+    # pseudo sets, plus per-last-word RC dynamic HEAD triphones in
+    # pass 1 (head_rc_dynamic): with strict_iwcd2 in pass 2, pass-1
+    # must score word heads with the same exact models or its trellis
+    # scores (the pass-2 A* estimates) sit one pseudo-seam bonus above
+    # every strict exact score per remaining word, and the stack
+    # degenerates to scanning every shallow candidate before any deep
+    # one (measured: a 20k utterance decoded <s> </s> at -798 vs the
+    # host's -47)
     eng = Engine(hmm, voca, lm, dnn=dnn, frontend=fe_cfg, search=search,
-                 am_cfg=AMConfig(iwcd_scheme="max"))
+                 am_cfg=AMConfig(iwcd_scheme="max", head_rc_dynamic=True))
     return eng, protos
 
 
 def trained_dnn_weights(n_out, din, dim, context, hidden, n_layers,
-                        seed):
-    """Random sigmoid hidden layers + a ridge-regressed output layer
-    that reads the CENTER frame's senone prototype out of the random
-    feature map.  Gives the synthetic flagship DNN actual decoding
-    power: frames built from per-senone prototypes (+noise) decode to
-    the generating senone sequence, so WER is measurable at flagship
-    scale (BASELINE.md) and pass-2 search behaves like it does on real
-    speech instead of burning its pop budget on noise.
+                        seed, cluster=None):
+    """Constructed matched-filter DNN: the first layer embeds the
+    CENTER frame into the leading `dim` hidden units inside sigmoid's
+    near-linear range, the remaining layers carry it through scaled-
+    identity sigmoids (strictly monotone per unit), and the output
+    layer correlates it against every senone prototype with the
+    nearest-prototype bias (logits ~ x . p_j - |p_j|^2/2).  Gives the
+    synthetic flagship DNN actual decoding power: frames built from
+    per-senone prototypes (+noise) decode to the generating senone
+    sequence, so WER is measurable at flagship scale (BASELINE.md) and
+    pass-2 search behaves like it does on real speech instead of
+    burning its pop budget on noise.
+
+    Same shapes and FLOPs as the real ENVR-v5.4-like net
+    (Sample.dnnconf) — only the values are designed.  Earlier rounds
+    ridge-regressed a readout through RANDOM sigmoid layers; its
+    sibling discrimination lived in near-null-space directions with
+    huge weights, which the engine's bfloat16 matmul path (ops/dnn.py,
+    matching calc_dnn.c's SIMD design point) quantised away — senone
+    top-1 through the engine fell to ~0 while float32 probes scored
+    0.98.  The matched-filter margins are O(|p_i - p_j|^2) at every
+    stage and survive bf16 by construction.
+
+    `cluster`: group size of consecutive senone ids sharing a
+    prototype neighbourhood (make_triphone_hmmset's tied pool); same-
+    cluster senones are acoustically close like real decision-tree-
+    tied states, so cross-word pseudo CD aggregates stay within a
+    small bonus of the exact member.
 
     Returns (weights, biases, out_w, out_b, protos[n_out, dim])."""
-    import jax
-    import jax.numpy as jnp
     rng = np.random.default_rng(seed + 3)
+    if hidden < dim:
+        raise ValueError(f"hidden {hidden} < feature dim {dim}")
 
     def mat(a, b):
         return (rng.standard_normal((a, b)) / math.sqrt(a)).astype(np.float32)
 
-    weights = [mat(din, hidden)] + [mat(hidden, hidden)
-                                    for _ in range(n_layers - 1)]
-    biases = [np.zeros(hidden, np.float32) for _ in range(n_layers)]
-    protos = rng.standard_normal((n_out, dim)).astype(np.float32)
+    if cluster:
+        proto_cl = rng.standard_normal(
+            (-(-n_out // cluster), dim)).astype(np.float32)
+        protos = (np.repeat(proto_cl, cluster, axis=0)[:n_out]
+                  + 0.5 * rng.standard_normal((n_out, dim))
+                  ).astype(np.float32)
+    else:
+        protos = rng.standard_normal((n_out, dim)).astype(np.float32)
 
-    # training windows: center frame = proto of the target senone,
-    # context frames = protos of random senones (+noise), so the
-    # regression learns a center-frame readout
-    n_per = max(4, 32768 // n_out)
-    N = n_out * n_per
-    tgt = np.repeat(np.arange(n_out), n_per)
-    ctx_ids = rng.integers(0, n_out, size=(N, context))
-    X = protos[ctx_ids].reshape(N, din).astype(np.float32)
     c0 = (context // 2) * dim
-    X[:, c0:c0 + dim] = protos[tgt]
-    X += 0.25 * rng.standard_normal(X.shape).astype(np.float32)
+    # layer 1: alpha * center frame into units [0, dim); filler noise
+    # everywhere else (the filler columns never feed the carried units)
+    alpha = 0.5
+    W1 = mat(din, hidden) * 0.05
+    b1 = np.zeros(hidden, np.float32)
+    W1[:, :dim] = 0.0
+    W1[c0:c0 + dim, :dim] = alpha * np.eye(dim, dtype=np.float32)
+    weights = [W1]
+    biases = [b1]
+    # layers 2..L: scaled-identity sigmoids centred at 0.5 over the
+    # carried units (near-linear for the residual, strictly monotone)
+    beta = 4.0
+    for _ in range(n_layers - 1):
+        Wk = mat(hidden, hidden) * 0.05
+        Wk[:, :dim] = 0.0
+        Wk[:dim, :dim] = beta * np.eye(dim, dtype=np.float32)
+        weights.append(Wk)
+        biases.append(np.concatenate(
+            [np.full(dim, -0.5 * beta, np.float32),
+             np.zeros(hidden - dim, np.float32)]))
 
-    def hidden_map(x):
-        h = x
-        for w, b in zip(weights, biases):
-            h = jax.nn.sigmoid(h @ jnp.asarray(w) + jnp.asarray(b))
-        return h
-
-    H = np.asarray(jax.jit(hidden_map)(jnp.asarray(X)))
-    lam = 1e-2 * N / hidden
-    A = H.T @ H + lam * np.eye(hidden, dtype=np.float32)
-    ht_y = np.zeros((hidden, n_out), np.float32)
-    for s in range(n_out):
-        ht_y[:, s] = H[tgt == s].sum(axis=0)
-    out_w = np.linalg.solve(A, ht_y).astype(np.float32)
+    # calibrate the carried units' affine response h ~ a + g*x on probe
+    # frames (sigmoid chains are only approximately linear), then read
+    # the matched filter off them: logits_j = s*(h . p_j) + ob_j with
+    # ob_j cancelling the offset term and adding -g*|p_j|^2/2
+    M = 4096
+    t2 = rng.integers(0, n_out, size=M)
+    x = (protos[t2]
+         + 0.25 * rng.standard_normal((M, dim))).astype(np.float32)
+    h = 1.0 / (1.0 + np.exp(-alpha * x))
+    for _ in range(n_layers - 1):
+        h = 1.0 / (1.0 + np.exp(-beta * (h - 0.5)))
+    xm = x.mean(axis=0)
+    hm_ = h.mean(axis=0)
+    g = float(np.sum((x - xm) * (h - hm_)) / max(np.sum((x - xm) ** 2),
+                                                 1e-6))
+    a = hm_ - g * xm
+    out_w = np.zeros((hidden, n_out), np.float32)
+    out_w[:dim, :] = protos.T
+    out_b = (-(protos @ a) - 0.5 * g * np.sum(protos * protos, axis=1)
+             ).astype(np.float32)
     # sharpen: rescale logits so the mean top1-top2 margin is large
     # enough that the log-softmax outprob differences compete with the
     # weighted LM scores (softmax temperature is a free parameter of
-    # this synthetic model — regression only fixes the direction)
-    logits = H[:2048] @ out_w
+    # this synthetic model)
+    logits = h @ out_w[:dim] + out_b
     srt = np.sort(logits, axis=1)
     margin = float(np.mean(srt[:, -1] - srt[:, -2]))
-    out_w *= 8.0 / max(margin, 1e-3)
-    out_b = np.zeros(n_out, np.float32)
+    scale = 8.0 / max(margin, 1e-3)
+    out_w *= scale
+    out_b *= scale
     return weights, biases, out_w, out_b, protos
-
 
 
 def _lm_sampler(lm, voca, rng, follow_p=0.85):
@@ -404,19 +494,32 @@ def make_flagship_utts(hmm, voca, lm, protos, n_utts, dim, context,
 
 
 def make_lvcsr_utts(eng, protos, n_utts, dim, context,
-                    min_words=4, max_words=9, seed=0):
+                    min_words=4, max_words=9, seed=0, follow_p=1.0):
     """Generative utterances for a triphone engine: the senone path is
-    read off the DECODE NETWORK's own node rows (word_node_ofs +
-    score_idx), so in-word tied triphones and cross-word pseudo sets
-    line up with what pass 1 will score; a pseudo set-state's frame is
-    generated from its first member senone's prototype (the aggregate
-    then scores it near-max).  Truth known by construction."""
+    composed from the sampled word sequence's EXACT triphones —
+    in-word logicals plus cross-word heads/tails resolved with the
+    true adjacent contexts (see the in-loop comment).  Truth known by
+    construction.
+
+    follow_p defaults to 1.0 (every transition is a real bigram): a
+    uniform off-LM draw pays ~-35 weighted log points of back-off at
+    lvcsr vocabulary sizes, so the model-optimal decode provably
+    differs from the truth on most such utterances (measured round 5:
+    9 of 14 20k-word 'errors' were the decoder finding a HIGHER-
+    scoring sequence than the truth) and exact-match stops measuring
+    the decoder.  Real dictation follows its LM; so do these."""
+    from julius_tpu.models.hmm import center_name
+    from julius_tpu.search.network import word_phone_names
+
     rng = np.random.default_rng(seed + 9)
-    hmm, voca, net = eng.hmm, eng.voca, eng.net
-    S = hmm.n_states
-    ps = net.pseudo
+    hmm, voca = eng.hmm, eng.voca
     name2id = {n: i for i, n in enumerate(voca.names)}
-    draw = _lm_sampler(eng.lm, voca, rng)
+    draw = _lm_sampler(eng.lm, voca, rng, follow_p=follow_p)
+
+    def resolve(name):
+        pid = hmm.logical_map.get(name)
+        return hmm.phone_index.get(name) if pid is None else pid
+
     truths, windows, lens = [], [], []
     for _ in range(n_utts):
         k = int(rng.integers(min_words, max_words + 1))
@@ -424,18 +527,41 @@ def make_lvcsr_utts(eng, protos, n_utts, dim, context,
         for _i in range(k):
             seq.append(draw(seq[-1]))
         seq.append(name2id["</s>"])
+        # senone path from the EXACT cross-word triphones of the
+        # sampled sequence (contexts known at generation time): the
+        # truth's word-edge frames then score top under strict IWCD
+        # (head_rc_dynamic / strict_iwcd2) AND under the pseudo-set
+        # approximations (the exact physical is a member, and max /
+        # bestN aggregates include it).  Generating from an arbitrary
+        # first member (round 4) made the truth suboptimal the moment
+        # any strict scoring was applied.
         senones = []
-        for w in seq:
-            n0, n1 = int(net.word_node_ofs[w]), int(net.word_node_ofs[w + 1])
-            for node in range(n0, n1):
-                sidx = int(net.score_idx[node])
-                if sidx >= S and ps is not None:
-                    j = sidx - S
-                    sidx = int(ps.members[int(ps.member_ofs[j])])
-                # ~1.5 frames per state on average (p_stay 0.6-like)
-                senones.append(sidx)
-                while rng.random() < 0.4:
+        for i, w in enumerate(seq):
+            names = word_phone_names(voca.phones[w], True)
+            lc = (center_name(voca.phones[seq[i - 1]][-1])
+                  if i > 0 and voca.phones[seq[i - 1]] else None)
+            rc = (center_name(voca.phones[seq[i + 1]][0])
+                  if i + 1 < len(seq) and voca.phones[seq[i + 1]]
+                  else None)
+            for name in names:
+                full = name
+                if "-" not in name and "+" in name and lc:
+                    full = f"{lc}-{name}"          # word head 'c+r'
+                elif "+" not in name and "-" in name and rc:
+                    full = f"{name}+{rc}"          # word tail 'l-c'
+                elif "-" not in name and "+" not in name and lc and rc:
+                    full = f"{lc}-{name}+{rc}"     # single-phone word
+                pid = resolve(full)
+                if pid is None:
+                    pid = resolve(name)
+                if pid is None:
+                    pid = hmm.phone_index[center_name(name)]
+                for s_ in range(int(hmm.phone_ns[pid])):
+                    sidx = int(hmm.phone_states[pid, s_])
+                    # ~1.5 frames per state on average (p_stay 0.6-like)
                     senones.append(sidx)
+                    while rng.random() < 0.4:
+                        senones.append(sidx)
         base = protos[senones] \
             + 0.25 * rng.standard_normal((len(senones), dim)) \
             .astype(np.float32)
