@@ -284,7 +284,11 @@ def _word_end_candidates(dev: DeviceNetwork, ngram: Optional[DeviceNgram],
     sc_all = state.score[dev.exit_nodes] + dev.exit_nlp      # [Ex]
     Ex = sc_all.shape[0]
     k = min(2 * M, Ex)
-    if Ex > 4 * k:
+    import os as _os
+    if Ex > 4 * k and not _os.environ.get("PASS1_EXACT_TOPK"):
+        # A/B flag (IMPLEMENTATION.md measured caveats): set
+        # PASS1_EXACT_TOPK=1 to force the exact sort and measure the
+        # 0.99-recall approximation's accuracy impact
         sc, sel = jax.lax.approx_max_k(sc_all, k, recall_target=0.99)
     else:
         sc, sel = jax.lax.top_k(sc_all, k)

@@ -731,6 +731,15 @@ def scenario_triphone(ref_bin, workdir, n_utts, n_base=20, variants=12,
 
 
 def main(argv=None):
+    # the axon TPU plugin force-selects itself over the JAX_PLATFORMS
+    # env var at interpreter startup (CLAUDE.md); honour an explicit
+    # cpu request before any backend use
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--ref", required=True, help="reference julius binary")
     ap.add_argument("--workdir", default="/tmp/julius_parity")

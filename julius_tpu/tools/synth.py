@@ -302,17 +302,16 @@ def lvcsr_engine(n_words: int = 20000, n_base: int = 40,
         log_prior=np.full(n_out, math.log10(1.0 / n_out), np.float32),
         context_len=11, feature_len=feat_dim)
     from julius_tpu.config import AMConfig
-    # iwcd1 'max' (reference outprob_cd max mode) for the remaining
-    # pseudo sets, plus per-last-word RC dynamic HEAD triphones in
-    # pass 1 (head_rc_dynamic): with strict_iwcd2 in pass 2, pass-1
-    # must score word heads with the same exact models or its trellis
-    # scores (the pass-2 A* estimates) sit one pseudo-seam bonus above
-    # every strict exact score per remaining word, and the stack
-    # degenerates to scanning every shallow candidate before any deep
-    # one (measured: a 20k utterance decoded <s> </s> at -798 vs the
-    # host's -47)
+    # iwcd1 'max' (reference outprob_cd max mode) for the pass-1
+    # pseudo sets: with the sharp clustered matched-filter model the
+    # max picks the exact member on truth frames, so pass-1 scores
+    # stay consistent with the strict pass-2 estimates WITHOUT
+    # head_rc_dynamic — which must stay off here: its per-frame [N]
+    # rc_sidx gather inside the pass-1 scan faults the TPU worker at
+    # the 300k-node scale (the known v5e scan-gather pathology,
+    # pass1.py:280) and it disqualifies the fused Pallas kernel
     eng = Engine(hmm, voca, lm, dnn=dnn, frontend=fe_cfg, search=search,
-                 am_cfg=AMConfig(iwcd_scheme="max", head_rc_dynamic=True))
+                 am_cfg=AMConfig(iwcd_scheme="max"))
     return eng, protos
 
 
