@@ -69,14 +69,21 @@ class TrellisLattice:
         self.prev = np.asarray(trellis.prev)[:n_frames]
         self.begin = np.asarray(trellis.begin)[:n_frames]
         self.T, self.M = self.word.shape
-        # atoms grouped by begin frame for successor lookup (built from
-        # the nonzero mask, not a T x M Python loop — the flagship
-        # trellis holds ~10k atoms per utterance)
-        self.by_begin: Dict[int, List[Tuple[int, int]]] = {}
-        t_idx, m_idx = np.nonzero(self.word >= 0)
-        for b, t, m in zip(self.begin[t_idx, m_idx].tolist(),
-                           t_idx.tolist(), m_idx.tolist()):
-            self.by_begin.setdefault(b, []).append((t, m))
+        self._by_begin: Optional[Dict[int, List[Tuple[int, int]]]] = None
+
+    @property
+    def by_begin(self) -> Dict[int, List[Tuple[int, int]]]:
+        """Atoms grouped by begin frame (successor lookup).  Lazy: only
+        the frozen-score searches walk it; the rescan paths read the
+        arrays directly, and building ~10k-atom dicts per utterance was
+        ~3 s of the flagship batch's wall."""
+        if self._by_begin is None:
+            self._by_begin = {}
+            t_idx, m_idx = np.nonzero(self.word >= 0)
+            for b, t, m in zip(self.begin[t_idx, m_idx].tolist(),
+                               t_idx.tolist(), m_idx.tolist()):
+                self._by_begin.setdefault(b, []).append((t, m))
+        return self._by_begin
 
     def by_end(self, t: int) -> List[Tuple[int, int]]:
         """Atoms whose word ends at frame t (trellis row t)."""

@@ -21,30 +21,35 @@ scan-at-pop structure of `search_bestfirst_main.c:787` (wchmm_fbs):
   one lax.scan advances all B*P popped words at once), which re-derives
   the exact score and refined boundary; the exact g row is stored so
   every descendant seeds from it.  The pop is LAZY (deferred-evaluation
-  A*): a freshly scanned entry is re-pushed with its exact priority and
-  only expands on its second pop, so expansion order and the N-best
-  termination test run on exact scores — estimates only order the
-  queue, where (with the dilated-max entry bound below) they are
-  near-admissible;
+  A*): a freshly scanned entry is re-pushed with its exact priority
+  FANNED OUT over the top A_RP boundary anchors of its own g+rest
+  curve (one scan serves all of a word's boundary variants — the
+  host's sibling-anchor merge, and the reason fresh entries recombine
+  per (word, prev) regardless of pass-1 anchor), and only expands on a
+  later pop, so expansion order and the N-best termination test run on
+  exact scores — estimates only order the queue;
 * next-word candidates come from trellis atoms whose begin frame falls
   within +-lookup_range of the boundary (`ngram_decode.c:428`), the
-  stack keeps the best `stack_size` entries (-s), and a hypothesis
-  completes when the sentence-tail word is popped at the final frame
-  with nothing on the stack estimating above the n-best-th completion
-  (`search_bestfirst_main.c:1645` acceptance ordering).
+  stack keeps the best `4 * stack_size` anchor-variant entries (-s),
+  and a hypothesis completes when the sentence-tail word is popped at
+  the final frame with nothing on the stack estimating above the
+  n-best-th completion (`search_bestfirst_main.c:1645`).
 
 Differences from the host path, chosen for device-shaped execution:
 
 * duplicate suppression is a keep-best merge over the (last word,
-  boundary anchor, previous word) class at every push, instead of the
-  host's pop-time `seen` map — for a 2-gram LM that class captures the
-  LM context exactly, so the merge is the reference's hypothesis
-  recombination done eagerly;
-* the word envelope (-b2 wb_ok) is approximated by the per-pop child
-  cap and the global stack trim (both score-ranked);
-* supported configuration: forward N-gram LM of order <= 2 shared with
-  pass 1, no transparent words, no strict-IWCD v2; anything else takes
-  the host path (`engine._device_astar_ok`).
+  boundary anchor, previous word) class at every push — (word, prev)
+  for unscanned entries — instead of the host's pop-time `seen` map:
+  for a 2-gram LM that class captures the LM context exactly, so the
+  merge is the reference's hypothesis recombination done eagerly;
+  already-scanned (exact-priority) entries may only be evicted by
+  other exact entries, never by estimate-priority ones;
+* the word envelope (-b2 wb_ok) admits `word_envelope` distinct word
+  SEQUENCES per hypothesis length (rolling sequence hash);
+* strict inter-word CD heads (v2) are supported via
+  iwcd2.StrictIWCDTables row substitution; the remaining host-only
+  semantics (order > 2 LMs, transparent words, during-search graph
+  collection) take the host path (`engine._device_astar_ok`).
 """
 
 from __future__ import annotations
@@ -78,6 +83,10 @@ A_ENDS = 16
 Q_PER_FRAME = 96
 #: children kept per pop after ranking (MAX_NEXT_WORDS-analogue)
 CHILD_KEEP = 64
+#: boundary anchors fanned out per scanned word (re-push slots; the
+#: host's MAX_ANCHORS analogue, taken from the scan's own g+rest
+#: peaks instead of pass-1 atom ends)
+A_RP = 4
 #: completion slots tracked per utterance (host filters to nbest)
 NB_SLOTS = 8
 
@@ -88,6 +97,10 @@ _TRACK = ()
 #: 2=skip candidate gathers, 4=skip LM probe, 8=skip store scatter
 import os as _os
 _ABLATE = int(_os.environ.get('P2D_ABLATE', '0'))
+#: search statistics of the last run_batch dispatch (profiling)
+LAST_STATS: dict = {}
+#: g/beg-store budget (MB) bounding the per-utterance pop arena
+MEM_MB = 384
 
 
 @dataclass
@@ -104,22 +117,30 @@ class _Prepared:
     stack0: Tuple[np.ndarray, ...]   # initial stack field arrays
 
 
-def _suffix_estimate_np(ab, ae, inc, T, lr):
+def _suffix_estimate_np(ab, ae, inc, T, lr, fmax=None):
     """rest[t] = best pass-1 continuation covering frames t+1..T-1:
     backward DP over trellis atoms scored with their FULL pass-1
     incremental scores (AM + pass-1 LM), chain step admitting begin
-    frames in [t+1-lr, t+1+lr].
+    frames in [t+1-lr, t+1+lr] with every frame of boundary slack
+    CHARGED through `fmax`, the frame's best outprob: a late entry
+    (gap) adds the skipped frames' fmax — a real path must cover them
+    at <= fmax each, so the bound stays admissible — and an early
+    entry (overlap) subtracts the doubled frames' fmax.
 
-    Identical to the host path's `pass2_rescan._suffix_estimate` —
-    the mirror of the reference's use of trellis scores as the A*
-    completion estimate (`search.h` NODE score, ngram_decode.c:334).
-    An earlier device-only variant substituted AM-only spans plus a
-    best-case per-word LM bound with fmax-charged boundary slack; on
-    DNN configs (positive outprobs after prior division) that estimate
-    ran ~100+ log points above the true suffix, so the queue churned
-    on junk until the pop budget died and the truth path never
-    surfaced (round-4 LVCSR 0/32).  Tight beats admissible here, just
-    like in the reference."""
+    Both halves of this formula carry a scar.  Round 4 charged slack
+    but fed AM-only spans + a best-case per-word LM bound — ~100+ log
+    points optimistic on DNN configs, queue churned to death (LVCSR
+    0/32).  Early round 5 used full pass-1 incs but dropped the
+    charge — fine on DNN (positive outprobs make an uncovered gap a
+    LOSS), catastrophic on GMM: at ~-20/frame, +-5 uncharged slack
+    hands every chain hop up to +100 free log points, rest inflates
+    ~+700, and both rescan searches churned out empty while the
+    reference decoded the same GMM-triphone files exactly (refparity
+    triphone scenario).  Full incs + slack charge is right for both
+    signs.  Mirrors the reference's use of trellis scores as the A*
+    completion estimate (`search.h` NODE score, ngram_decode.c:334)."""
+    cfm = np.concatenate([[0.0], np.cumsum(fmax)]) if fmax is not None \
+        else np.zeros(T + 1)
     rest = np.full(T + 1, -np.inf)
     rest[T - 1] = 0.0            # nothing left after the final frame
     for t in range(T - 2, -1, -1):
@@ -127,8 +148,10 @@ def _suffix_estimate_np(ab, ae, inc, T, lr):
         i1 = np.searchsorted(ab, t + 1 + lr, side="right")
         best = -np.inf
         if i1 > i0:
+            b = ab[i0:i1]
             e = ae[i0:i1]
-            v = inc[i0:i1] + rest[e]
+            adj = cfm[np.clip(b, 0, T)] - cfm[t + 1]
+            v = adj + inc[i0:i1] + rest[e]
             v = np.where(e > t, v, -np.inf)
             if len(v):
                 best = v.max()
@@ -210,7 +233,8 @@ def _best_lm_in(strategy, n_words: int) -> np.ndarray:
 def prepare(lattices: List[Optional[TrellisLattice]], T: int,
             strategy, cfg: SearchConfig, stack_size: int,
             cprob_np: Optional[np.ndarray] = None,
-            best_in: Optional[np.ndarray] = None) -> _Prepared:
+            best_in: Optional[np.ndarray] = None,
+            fmax: Optional[np.ndarray] = None) -> _Prepared:
     """Build the per-batch atom tables, suffix estimates, and initial
     stacks (sentence-head candidates at frame 0, reference
     get_backtrellis_words' first-word seeding, ngram_decode.c:334)."""
@@ -255,7 +279,8 @@ def prepare(lattices: List[Optional[TrellisLattice]], T: int,
         lw1v = float(cfg.lm_weight)
         ratio = (lw2v / lw1v) if lw1v else 1.0
         inc_rw = (asc - pscore - alm) + alm * ratio
-        rest = _suffix_estimate_np(ab, ae, inc_rw, lat.T, lr)
+        fm = (fmax[len(per), :lat.T] if fmax is not None else None)
+        rest = _suffix_estimate_np(ab, ae, inc_rw, lat.T, lr, fm)
         # anchor the estimate on pass-1's own best path: a REAL path
         # covering every frame, so its suffix curve has no holes and no
         # compounding per-word bounds — the atom-chain DP above can
@@ -587,14 +612,45 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         res_arena = jnp.take_along_axis(ra2, order_r, axis=1)
         res_seqh = jnp.take_along_axis(rh2, order_r, axis=1)
 
-        # ---- lazy A* re-push: fresh non-final pops go back on the
-        # stack with their EXACT priority and their own g row; they
-        # expand on their second pop, so expansion order and the
-        # termination test below see exact scores only
-        rest_pt = jnp.take_along_axis(rest, pt, axis=1)          # [B, P]
-        repush = fresh & ~is_final & (exact > NEG_HALF) \
-            & (rest_pt > NEG_HALF)
-        r_prio = jnp.where(repush, exact + rest_pt, NEG_INF)
+        # ---- lazy A* re-push with ANCHOR FAN-OUT: a fresh non-final
+        # pop goes back on the stack at the top A_RP boundary anchors
+        # of its OWN exact g + rest curve (local maxima over a +-2
+        # window, so one plateau yields one anchor).  The scan already
+        # re-derived g at every frame, so the anchors come from exact
+        # scores instead of pass-1 atom ends — and one scan serves all
+        # of a word's boundary variants.  (The previous design pushed
+        # one FRESH entry per pass-1 anchor, each of which paid its
+        # own identical scan: ~8-16x the scan volume per hypothesis
+        # word, the measured round-count driver; the host path merges
+        # sibling anchors into one scan request the same way,
+        # pass2_rescan.py:846.)
+        gr = g.reshape(B, P, T) + rest[:, None, :]
+        gr = jnp.where((g.reshape(B, P, T) > NEG_HALF)
+                       & (rest[:, None, :] > NEG_HALF), gr, NEG_INF)
+        # local-maxima suppression: keep frames that win their +-2 hood
+        grp = gr
+        for d_ in (1, 2):
+            grp = jnp.maximum(
+                grp,
+                jnp.maximum(
+                    jnp.pad(gr[:, :, d_:], ((0, 0), (0, 0), (0, d_)),
+                            constant_values=NEG_INF),
+                    jnp.pad(gr[:, :, :-d_], ((0, 0), (0, 0), (d_, 0)),
+                            constant_values=NEG_INF)))
+        gr_lm = jnp.where(gr >= grp, gr, NEG_INF)
+        rp_prio, rp_t = jax.lax.top_k(gr_lm, A_RP)               # [B,P,A]
+        repush = (fresh & ~is_final & (exact > NEG_HALF))[..., None]
+        r_prio = jnp.where(repush & (rp_prio > NEG_HALF),
+                           rp_prio, NEG_INF).reshape(B, P * A_RP)
+        r_t = rp_t.astype(jnp.int32).reshape(B, P * A_RP)
+        r_w = jnp.repeat(pw, A_RP, axis=1)
+        r_prev = jnp.repeat(pprev, A_RP, axis=1)
+        r_parent = jnp.repeat(pparent, A_RP, axis=1)
+        r_lm_add = jnp.repeat(plm_add, A_RP, axis=1)
+        r_lm_sum = jnp.repeat(plm_sum, A_RP, axis=1)
+        r_row = jnp.repeat(jnp.broadcast_to(aidx, (B, P)), A_RP, axis=1)
+        r_len = jnp.repeat(plen, A_RP, axis=1)
+        r_seqh = jnp.repeat(pseqh, A_RP, axis=1)
 
         # ---- next-word candidates for SCANNED pops: trellis atoms
         # whose begin falls in +-lr of the boundary
@@ -748,19 +804,18 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         # ---- merge the whole (popped-out) stack + re-pushes +
         # children; recombine duplicates, then trim back to S
         m_prio = jnp.concatenate([s_prio, r_prio, c_prio], axis=1)
-        m_w = jnp.concatenate([s_w, pw, c_w], axis=1)
-        m_t = jnp.concatenate([s_t, pt, c_t], axis=1)
-        m_prev = jnp.concatenate([s_prev, pprev, c_prev], axis=1)
+        m_w = jnp.concatenate([s_w, r_w, c_w], axis=1)
+        m_t = jnp.concatenate([s_t, r_t, c_t], axis=1)
+        m_prev = jnp.concatenate([s_prev, r_prev, c_prev], axis=1)
         m_parent = jnp.concatenate(
-            [s_parent, pparent, c_parent], axis=1)
+            [s_parent, r_parent, c_parent], axis=1)
         m_lm_add = jnp.concatenate(
-            [s_lm_add, plm_add, c_lm_add], axis=1)
+            [s_lm_add, r_lm_add, c_lm_add], axis=1)
         m_lm_sum = jnp.concatenate(
-            [s_lm_sum, plm_sum, c_lm_sum], axis=1)
-        m_row = jnp.concatenate(
-            [s_row, jnp.broadcast_to(aidx, (B, P)), c_row], axis=1)
-        m_len = jnp.concatenate([s_len, plen, c_len], axis=1)
-        m_seqh = jnp.concatenate([s_seqh, pseqh, c_seqh], axis=1)
+            [s_lm_sum, r_lm_sum, c_lm_sum], axis=1)
+        m_row = jnp.concatenate([s_row, r_row, c_row], axis=1)
+        m_len = jnp.concatenate([s_len, r_len, c_len], axis=1)
+        m_seqh = jnp.concatenate([s_seqh, r_seqh, c_seqh], axis=1)
         key = m_w * (T + 1) + m_t
         # TPU sorts are the measured round hotspot (an XLA sort of the
         # ~1k-wide merge costs more than the whole seeded scan), so
@@ -786,6 +841,13 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         # g value for the same reason, pass2_rescan.py:760)
         DH = 1 << 14
         is_exact = m_row >= 0
+        # FRESH entries (not yet scanned) recombine per (word, prev)
+        # regardless of anchor: the scan is anchor-independent (full-T
+        # seeded Viterbi) and the re-push fans the exact result out to
+        # its own best anchors, so keeping one pass-1 anchor variant
+        # per (word, prev) is lossless — and it removes the ~8-16
+        # identical scans the per-anchor fresh entries used to pay
+        key = jnp.where(is_exact, key, m_w * (T + 1) + T)
         prio_ex = jnp.where(is_exact, m_prio, NEG_INF)
         k1 = ((key.astype(jnp.uint32) * jnp.uint32(2654435761))
               ^ (m_prev.astype(jnp.uint32) * jnp.uint32(2246822519))
@@ -899,7 +961,8 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
     P = POPS
     # arena capacity bounds total pops per utterance (the -m budget,
     # capped so the g/beg stores stay within a few hundred MB)
-    capp_mem = max(256, int((384 << 20) / max(1, B * T * 8)) // P * P)
+    capp_mem = max(256, int((MEM_MB << 20)
+                            / max(1, B * T * 8)) // P * P)
     CAPP = min(max(P * 32, 2 * int(cfg.max_hypo_pop) // P * P),
                capp_mem)
     max_rounds = CAPP // P
@@ -908,7 +971,8 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
     fmax = np.asarray(jnp.max(out_ext, axis=2))
     if best_in is None:
         best_in = _best_lm_in(strategy, tabs.loc.shape[0])
-    prep = prepare(lattices, T, strategy, cfg, S, cprob, best_in)
+    prep = prepare(lattices, T, strategy, cfg, S, cprob, best_in,
+                   fmax=fmax)
     if not (prep.last >= 0).any():
         return [[] for _ in range(B)]
     NA = prep.ab.shape[1]
@@ -961,6 +1025,12 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
         strict_heads=strict)
     (res_score, res_arena, arena_w, arena_t, arena_parent,
      arena_lm_sum, beg_store, n_pops, round_i) = out
+    # profiling hook (tools/profile.py / perf scripts): per-dispatch
+    # search statistics of the LAST run_batch call
+    LAST_STATS.update(
+        rounds=int(round_i), max_rounds=max_rounds, CAPP=CAPP,
+        P=P, S=S, CA=CA, CK=CK, B=B, T=T, NA=NA,
+        n_pops=np.asarray(n_pops).tolist())
     res_score = np.asarray(res_score)
     res_arena = np.asarray(res_arena)
     arena_w = np.asarray(arena_w)

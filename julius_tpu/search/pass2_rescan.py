@@ -343,6 +343,9 @@ class ScanDispatcher:
         self.out_flat = out_ext.reshape(-1)
         self.T = int(T)
         self.R = int(R)
+        # per-frame best outprob: the admissible charge for boundary
+        # slack in the suffix estimate (_suffix_estimate)
+        self.fmax = np.asarray(jnp.max(out_ext, axis=2))
         self.n_scans = 0
         self.scan_beam = float(scan_beam)
         self.iwcd2 = iwcd2            # search.iwcd2.StrictIWCDTables
@@ -516,7 +519,8 @@ def _atom_arrays(st: _UttState) -> None:
     st.asc = lat.score[t_idx, m_idx][order].astype(np.float64)
 
 
-def _suffix_estimate(st: _UttState, lr: int) -> np.ndarray:
+def _suffix_estimate(st: _UttState, lr: int,
+                     fmax=None) -> np.ndarray:
     """rest[t] = best trellis-path score (AM + pass-1 LM) covering
     frames t+1 .. T-1 (backward DP over pass-1 atoms).
 
@@ -538,14 +542,24 @@ def _suffix_estimate(st: _UttState, lr: int) -> np.ndarray:
     pscore = np.where(prev >= 0, lat.score[pt, pm], 0.0)
     inc = st.asc - pscore
     ab, ae = st.ab, st.ae
+    # boundary slack is CHARGED through fmax (the frame's best
+    # outprob): uncharged +-lr windows hand every chain hop up to
+    # lr*|fmax| free log points when frame scores are negative (GMM
+    # ~-20/frame -> rest inflated ~+700 and the search churned out
+    # EMPTY on configs the reference decoded exactly; see
+    # pass2_device._suffix_estimate_np for the full history)
+    cfm = (np.concatenate([[0.0], np.cumsum(fmax)])
+           if fmax is not None else np.zeros(T + 1))
     rest = np.full(T + 1, -np.inf)
     rest[T - 1] = 0.0            # nothing left after the final frame
     for t in range(T - 2, -1, -1):
         i0 = np.searchsorted(ab, t + 1 - lr)
         i1 = np.searchsorted(ab, t + 1 + lr, side="right")
         if i1 > i0:
+            b = ab[i0:i1]
             e = ae[i0:i1]
-            v = inc[i0:i1] + rest[e]
+            adj = cfm[np.clip(b, 0, T)] - cfm[t + 1]
+            v = adj + inc[i0:i1] + rest[e]
             v = np.where(e > t, v, -np.inf)
             best = v.max() if len(v) else -np.inf
         else:
@@ -664,7 +678,8 @@ def rescan_nbest_batch(
             continue
         st = _UttState(lattice=lat)
         _atom_arrays(st)
-        st.rest = _suffix_estimate(st, lr)
+        st.rest = _suffix_estimate(st, lr,
+                                   dispatcher.fmax[b, :lat.T])
         utts.append(st)
         cs = _cand_for(st, 0, 0, strategy)
         if cs is None:
