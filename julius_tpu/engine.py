@@ -198,6 +198,13 @@ class Engine:
                 self.gms = build_gms(hmm, gshmm, self.am_cfg.gsnum)
 
         self._decode_jit = jax.jit(self._decode_device)
+        # jitted per-engine callables for the feature/outprob input
+        # paths: an ad-hoc jax.jit(...) per decode call retraces every
+        # time (a fresh wrapper object never hits the jit cache) —
+        # measured ~50 s of the 64-utt flagship batch's wall
+        self._outprob_jit = jax.jit(self._outprob)
+        self._pass1_jit = jax.jit(partial(
+            p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))
         self._chain_cache = None    # lazy search.scan.ChainCache (tests)
         self._device_chains = None  # lazy search.scan.DeviceChainTables
         self._iwcd2_tables = None   # lazy search.iwcd2.StrictIWCDTables
@@ -313,10 +320,8 @@ class Engine:
     def decode_features(self, feats: jnp.ndarray, n_frames: jnp.ndarray):
         """Decode pre-extracted features [B, T, D] (reference mfcfile /
         vecnet feature input paths)."""
-        out_ext = jax.jit(self._outprob)(feats)
-        trellis = jax.jit(partial(
-            p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
-            out_ext, n_frames)
+        out_ext = self._outprob_jit(feats)
+        trellis = self._pass1_jit(out_ext, n_frames)
         # rejection hooks see the base features (mfcfile input passes
         # through GMM verification in the reference too); DNN-spliced
         # rows have the wrong width for the GMM's own models
@@ -347,7 +352,7 @@ class Engine:
     def compute_outprob(self, feats: jnp.ndarray) -> np.ndarray:
         """[B, T, D] -> senone score rows (for -outprobout dump /
         vecnet outprob serving, reference recogmain.c:1225-1242)."""
-        rows = jax.jit(self._outprob)(feats)
+        rows = self._outprob_jit(feats)
         S = self.hmm.n_states
         return np.asarray(rows[..., :S])
 
@@ -366,9 +371,7 @@ class Engine:
             return r
 
         out_ext = jax.jit(extend)(rows)
-        trellis = jax.jit(partial(
-            p1.pass1_batch, self.dev_net, self.ngram_dev, self.p1_cfg))(
-            out_ext, jnp.asarray(n_frames))
+        trellis = self._pass1_jit(out_ext, jnp.asarray(n_frames))
         return self._results(trellis, np.asarray(n_frames),
                              out_ext=out_ext)
 

@@ -138,9 +138,20 @@ def _suffix_estimate_np(ab, ae, inc, T, lr, fmax=None):
     reference decoded the same GMM-triphone files exactly (refparity
     triphone scenario).  Full incs + slack charge is right for both
     signs.  Mirrors the reference's use of trellis scores as the A*
-    completion estimate (`search.h` NODE score, ngram_decode.c:334)."""
-    cfm = np.concatenate([[0.0], np.cumsum(fmax)]) if fmax is not None \
-        else np.zeros(T + 1)
+    completion estimate (`search.h` NODE score, ngram_decode.c:334).
+
+    GAP frames charge min(fmax, 0): when outprobs are positive (DNN),
+    +fmax per skipped frame is admissible but LOOSE — it re-inflated
+    the queue into budget exhaustion (179/179 rounds) the moment the
+    charge came back — while 0 is tight and only pessimistic by the
+    cover value a real word could actually collect there.  OVERLAP
+    frames always subtract full fmax (removes the double count at the
+    optimistic rate for both signs)."""
+    if fmax is not None:
+        cfm = np.concatenate([[0.0], np.cumsum(fmax)])
+        cfm0 = np.concatenate([[0.0], np.cumsum(np.minimum(fmax, 0.0))])
+    else:
+        cfm = cfm0 = np.zeros(T + 1)
     rest = np.full(T + 1, -np.inf)
     rest[T - 1] = 0.0            # nothing left after the final frame
     for t in range(T - 2, -1, -1):
@@ -148,9 +159,11 @@ def _suffix_estimate_np(ab, ae, inc, T, lr, fmax=None):
         i1 = np.searchsorted(ab, t + 1 + lr, side="right")
         best = -np.inf
         if i1 > i0:
-            b = ab[i0:i1]
+            b = np.clip(ab[i0:i1], 0, T)
             e = ae[i0:i1]
-            adj = cfm[np.clip(b, 0, T)] - cfm[t + 1]
+            adj = np.where(b >= t + 1,
+                           cfm0[b] - cfm0[t + 1],
+                           cfm[b] - cfm[t + 1])
             v = adj + inc[i0:i1] + rest[e]
             v = np.where(e > t, v, -np.inf)
             if len(v):
@@ -1000,6 +1013,8 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
         hs_all = jnp.zeros((1, 1, 1), jnp.int32)
         hn_all = jnp.zeros(1, jnp.int32)
         lc_all = jnp.zeros(1, jnp.int32)
+    import time as _time
+    _t0 = _time.perf_counter()
     out = _astar_loop(
         tabs.loc, tabs.ent, tabs.ext, tabs.sidx, ng,
         jnp.asarray(wid2lm_v[:Vp1]),
@@ -1025,11 +1040,14 @@ def run_batch(lattices: List[Optional[TrellisLattice]],
         strict_heads=strict)
     (res_score, res_arena, arena_w, arena_t, arena_parent,
      arena_lm_sum, beg_store, n_pops, round_i) = out
+    jax.block_until_ready(res_score)
+    _t_loop = _time.perf_counter() - _t0
     # profiling hook (tools/profile.py / perf scripts): per-dispatch
     # search statistics of the LAST run_batch call
     LAST_STATS.update(
         rounds=int(round_i), max_rounds=max_rounds, CAPP=CAPP,
         P=P, S=S, CA=CA, CK=CK, B=B, T=T, NA=NA,
+        wall_loop=round(_t_loop, 3),
         n_pops=np.asarray(n_pops).tolist())
     res_score = np.asarray(res_score)
     res_arena = np.asarray(res_arena)

@@ -548,17 +548,24 @@ def _suffix_estimate(st: _UttState, lr: int,
     # ~-20/frame -> rest inflated ~+700 and the search churned out
     # EMPTY on configs the reference decoded exactly; see
     # pass2_device._suffix_estimate_np for the full history)
-    cfm = (np.concatenate([[0.0], np.cumsum(fmax)])
-           if fmax is not None else np.zeros(T + 1))
+    # gap frames charge min(fmax, 0), overlaps full fmax — see
+    # pass2_device._suffix_estimate_np for the two-regime rationale
+    if fmax is not None:
+        cfm = np.concatenate([[0.0], np.cumsum(fmax)])
+        cfm0 = np.concatenate([[0.0], np.cumsum(np.minimum(fmax, 0.0))])
+    else:
+        cfm = cfm0 = np.zeros(T + 1)
     rest = np.full(T + 1, -np.inf)
     rest[T - 1] = 0.0            # nothing left after the final frame
     for t in range(T - 2, -1, -1):
         i0 = np.searchsorted(ab, t + 1 - lr)
         i1 = np.searchsorted(ab, t + 1 + lr, side="right")
         if i1 > i0:
-            b = ab[i0:i1]
+            b = np.clip(ab[i0:i1], 0, T)
             e = ae[i0:i1]
-            adj = cfm[np.clip(b, 0, T)] - cfm[t + 1]
+            adj = np.where(b >= t + 1,
+                           cfm0[b] - cfm0[t + 1],
+                           cfm[b] - cfm[t + 1])
             v = adj + inc[i0:i1] + rest[e]
             v = np.where(e > t, v, -np.inf)
             best = v.max() if len(v) else -np.inf
