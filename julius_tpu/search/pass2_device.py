@@ -87,6 +87,14 @@ CHILD_KEEP = 64
 #: host's MAX_ANCHORS analogue, taken from the scan's own g+rest
 #: peaks instead of pass-1 atom ends)
 A_RP = 4
+#: scan window frames per pop (words span tens of frames; utterances
+#: hundreds — the scan only needs [anchor - (SCAN_WIN - WIN_TAIL),
+#: anchor + WIN_TAIL).  Must exceed the longest plausible word span
+#: plus boundary slack; entries earlier than the window are lost,
+#: which only matters for words longer than ~SCAN_WIN - WIN_TAIL
+#: frames (none in any tested config)
+SCAN_WIN = 160
+WIN_TAIL = 24
 #: completion slots tracked per utterance (host filters to nbest)
 NB_SLOTS = 8
 
@@ -522,7 +530,14 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         rows = bvec[:, None] * CAPP + aidx                       # [B, P]
 
         # ---- scan-at-(first-)pop: seeded word Viterbi for the popped
-        # word of every fresh entry (scanned re-pops ride a dead chain)
+        # word of every fresh entry (scanned re-pops ride a dead chain),
+        # WINDOWED to SCAN_WIN frames ending a little past the entry's
+        # anchor — words span tens of frames while utterances span
+        # hundreds, and the windowed fetch+scan is ~T/W times cheaper
+        # than the full-T one that used to dominate the round
+        # (reference scan_word walks only the word's frames for the
+        # same reason, search_bestfirst_v1.c:589)
+        W = min(SCAN_WIN, T)
         wids = jnp.where(fresh, pw, V_dead).reshape(K)
         prow = jnp.where(pparent >= 0,
                          bvec[:, None] * CAPP + pparent, 0).reshape(K)
@@ -534,17 +549,23 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
         init_seed = jnp.full((K, T), LOG_ZERO, jnp.float32) \
             .at[:, 0].set(plm_add.reshape(K))
         seed = jnp.where(has_parent[:, None], ext_seed, init_seed)
+        # window start: cover [anchor - (W - WIN_TAIL), anchor +
+        # WIN_TAIL); sentence-initial entries must include frame 0
+        w0 = jnp.clip(pt.reshape(K) - (W - WIN_TAIL), 0,
+                      max(T - W, 0))
+        w0 = jnp.where(has_parent, w0, 0)
         bidx = jnp.repeat(bvec, P)
+        seed_w = jax.vmap(
+            lambda s, o: jax.lax.dynamic_slice(s, (o,), (W,)))(seed, w0)
         if _ABLATE & 1:
             g = seed
             beg = jnp.zeros((K, T), jnp.int32)
         else:
-            # fetch the [K, T, N] outprob block as a ONE-HOT MATMUL on
-            # the MXU: TPU gathers move ~10^8 elements/s while a
-            # [T, R] x [R, P*N] GEMM per utterance moves the same data
-            # at matmul speed (a per-step gather inside lax.scan — the
-            # first implementation — was worse still: a latency-bound
-            # serial loop over T frames)
+            # fetch the [K, W, N] outprob block: per-pop window slices
+            # of out_ext (cacheline-friendly dynamic slices), selected
+            # through sidx as a ONE-HOT MATMUL on the MXU — TPU element
+            # gathers move ~10^8 elements/s while the batched
+            # [W, R] x [R, N] GEMM moves the same data at matmul speed
             NN = loc_all.shape[2]
             sidx_k = sidx_all[wids]                              # [K, N]
             if strict_heads:
@@ -568,18 +589,26 @@ def _astar_loop(loc_all, ent_all, ext_all, sidx_all, ng: DeviceNgram,
                 sidx_k = jnp.where(
                     colv[None, :] < jnp.minimum(hn, Hh)[:, None],
                     hs_pad, sidx_k)
-            sidx_b = sidx_k.reshape(B, P * NN)
-            oh = (sidx_b[:, None, :]
+            out_win = jax.vmap(
+                lambda b, o: jax.lax.dynamic_slice(
+                    out_ext, (b, o, 0), (1, W, R))[0])(
+                bidx, w0)                                        # [K,W,R]
+            oh = (sidx_k[:, None, :]
                   == jnp.arange(R, dtype=jnp.int32)[None, :, None]
-                  ).astype(out_ext.dtype)                        # [B,R,PN]
+                  ).astype(out_ext.dtype)                        # [K,R,N]
             outw = jax.lax.batch_matmul(
-                out_ext, oh,
-                precision=jax.lax.Precision.HIGHEST)             # [B,T,PN]
-            outw = outw.reshape(B, T, P, NN).transpose(0, 2, 1, 3) \
-                .reshape(K, T, NN)
-            g, beg, _sv = _scan_core_win(
+                out_win, oh,
+                precision=jax.lax.Precision.HIGHEST)             # [K,W,N]
+            g_w, beg_w, _sv = _scan_core_win(
                 loc_all[wids], ent_all[wids], ext_all[wids],
-                seed, outw, jnp.zeros(K, jnp.int32))             # [K, T]
+                seed_w, outw, w0)                                # [K, W]
+            g = jax.vmap(
+                lambda gw, o: jax.lax.dynamic_update_slice(
+                    jnp.full(T, LOG_ZERO, jnp.float32), gw, (o,)))(
+                g_w, w0)
+            beg = jax.vmap(
+                lambda bw, o: jax.lax.dynamic_update_slice(
+                    jnp.zeros(T, jnp.int32), bw, (o,)))(beg_w, w0)
         if not (_ABLATE & 8):
             g_store = g_store.at[rows.reshape(K)].set(g)
             beg_store = beg_store.at[rows.reshape(K)].set(beg)
