@@ -138,9 +138,14 @@ def aggregate_pseudo(members: jnp.ndarray, segids: jnp.ndarray,
       best — arithmetic mean of the top-nbest LOG probs
              (outprob_cd_nbest; nbest=1 == max)
 
-    senone: [..., S] -> [..., Q'] where Q' = n pseudo set-states."""
-    gathered = senone[..., members]                          # [..., L]
-    flat = gathered.reshape(-1, gathered.shape[-1])
+    senone: [..., S] -> [..., Q'] where Q' = n pseudo set-states.
+
+    The member gather runs in ROW CHUNKS (lax.map): materialising
+    [B*T, L] member scores at once is L=126k floats per frame at
+    LVCSR scale — 10+ GB for a 64-utterance batch, which OOMed the
+    16 GB chip; chunking caps the temp at ~256 MB with no change in
+    output (the op is bandwidth-bound either way)."""
+    flat_in = senone.reshape(-1, senone.shape[-1])           # [N, S]
     neg_half = LOG_ZERO / 2
 
     if scheme == "avg":
@@ -172,7 +177,15 @@ def aggregate_pseudo(members: jnp.ndarray, segids: jnp.ndarray,
         def seg(row):
             return jax.ops.segment_max(row, segids, num_segments=n_pseudo)
 
-    out = jax.vmap(seg)(flat)
+    N = flat_in.shape[0]
+    L = int(members.shape[0])
+    C = max(1, min(N, (256 << 20) // max(1, 4 * L)))
+    pad = (-N) % C
+    blocks = jnp.pad(flat_in, ((0, pad), (0, 0))).reshape(-1, C,
+                                                          flat_in.shape[-1])
+    out = jax.lax.map(
+        lambda blk: jax.vmap(seg)(blk[:, members]), blocks)
+    out = out.reshape(-1, n_pseudo)[:N]
     return out.reshape(*senone.shape[:-1], n_pseudo)
 
 
